@@ -1,0 +1,263 @@
+"""Segmented flash attention — the TPU-native equivalent of MagiAttention's
+`flex_flash_attn_func` (ref: dit_module.py:1031-1045) and FlashAttention-2's
+varlen API (ref: dit_module.py:1124-1133).
+
+Semantics
+---------
+Queries are `n_seg` contiguous equal-length blocks ("segments": MAGI's
+denoising chunks / cross-attn chunk captions) of `seg_len` tokens packed
+along one axis.  Segment i attends kv tokens `[kv_start[i], kv_end[i])`.
+This single primitive covers every attention pattern in MAGI:
+
+  * block-causal ARDF self-attention: kv = clean-history cache ⊕ current
+    noisy window; segment i's range ends at its own chunk and starts at 0
+    (default) or a sliding window (noise2clean kvrange)
+  * the unconditional CFG branch: each segment attends itself only
+  * cross-attention: kv = per-chunk caption slabs of caption_max_length;
+    segment i attends `[i*L, i*L + y_len[i])`
+
+Design notes (TPU-first)
+------------------------
+* Ranges are *dynamic values* (scalar-prefetched int32), never shapes: the
+  sliding ARDF window and growing KV history do NOT trigger recompilation.
+* The kv grid dimension is clamped via the index_map so out-of-range tiles
+  re-use the resident block (no DMA) and skip compute (`pl.when`) — the
+  same revisiting trick the canonical causal kernels use, generalized to
+  arbitrary per-segment ranges.
+* Online softmax with continuously-normalized accumulator (flash-v2 style).
+* GQA folded into the kv head index_map (no kv replication in HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from magi_tpu.core.utils import cdiv, round_up
+
+NUM_LANES = 128
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _seg_attn_kernel(
+    # scalar prefetch
+    kv_start_ref,
+    kv_end_ref,
+    # inputs
+    q_ref,  # [1, 1, block_q, hd]
+    k_ref,  # [1, block_k, hd]
+    v_ref,  # [1, block_k, hd]
+    # outputs
+    o_ref,  # [1, 1, block_q, hd]
+    # scratch
+    m_scr,  # [block_q, NUM_LANES] f32
+    l_scr,  # [block_q, NUM_LANES] f32
+    acc_scr,  # [block_q, hd] f32
+    *,
+    sm_scale: float,
+    block_k: int,
+    num_kv_tiles: int,
+):
+    seg = pl.program_id(0)
+    kv_idx = pl.program_id(3)
+
+    start = kv_start_ref[seg]
+    end = kv_end_ref[seg]
+    lo_tile = start // block_k
+    hi_tile = lax.div(end + block_k - 1, block_k)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    should_run = jnp.logical_and(kv_idx >= lo_tile, kv_idx < hi_tile)
+
+    @pl.when(jnp.logical_and(should_run, end > start))
+    def _run():
+        block_q, head_dim = acc_scr.shape
+        q = q_ref[0, 0]  # [block_q, hd]
+        k = k_ref[0]  # [block_k, hd]
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        s *= sm_scale
+
+        # Range mask on absolute kv positions (only boundary tiles actually
+        # mask anything; VPU cost is negligible next to the MXU matmuls).
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kv_idx * block_k
+        valid = jnp.logical_and(col >= start, col < end)
+        s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
+        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, NUM_LANES]
+
+        repeats, rem = divmod(block_k, NUM_LANES)
+        assert rem == 0, f"block_k must be a multiple of {NUM_LANES}"
+        p = jnp.exp(s - jnp.tile(m_next, (1, repeats)))
+
+        alpha = jnp.exp(m_prev - m_next)
+        l_corr = alpha * l_prev
+        l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+
+        hd_repeats, rem = divmod(head_dim, NUM_LANES)
+        if rem:
+            assert hd_repeats == 0, f"head_dim must be <=128 or a multiple of {NUM_LANES}"
+            l_broadcast = lambda l: l[:, :head_dim]
+        else:
+            l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        l_next_inv_safe = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+        acc_scr[...] *= l_broadcast(l_corr * l_next_inv_safe)
+        v = v_ref[0]
+        o_curr = lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scr[...] += o_curr * l_broadcast(l_next_inv_safe)
+
+    @pl.when(kv_idx == num_kv_tiles - 1)
+    def _store():
+        o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+
+
+def _pick_block(n: int, preferred: int) -> int:
+    return min(preferred, round_up(n, NUM_LANES))
+
+
+def segmented_attention(
+    q: jax.Array,  # [n_seg * seg_len, hq, hd]
+    k: jax.Array,  # [kv_len, hk, hd]
+    v: jax.Array,  # [kv_len, hk, hd]
+    kv_start: jax.Array,  # int32 [n_seg]
+    kv_end: jax.Array,  # int32 [n_seg]
+    *,
+    seg_len: int,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns [n_seg * seg_len, hq, hd] attention output."""
+    total_q, hq, hd = q.shape
+    kv_len, hk, hd_k = k.shape
+    assert hd == hd_k and v.shape == k.shape
+    assert total_q % seg_len == 0, (total_q, seg_len)
+    n_seg = total_q // seg_len
+    assert hq % hk == 0, f"GQA requires hq % hk == 0, got {hq=} {hk=}"
+    q_per_kv = hq // hk
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+
+    block_q = _pick_block(seg_len, block_q)
+    block_k = _pick_block(kv_len, block_k)
+    seg_pad = round_up(seg_len, block_q)
+    kv_pad = round_up(kv_len, block_k)
+
+    # [n_seg, hq, seg_pad, hd]
+    q_r = q.reshape(n_seg, seg_len, hq, hd)
+    if seg_pad != seg_len:
+        q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0), (0, 0)))
+    q_r = q_r.transpose(0, 2, 1, 3)
+    # [hk, kv_pad, hd]
+    k_r = k.transpose(1, 0, 2)
+    v_r = v.transpose(1, 0, 2)
+    if kv_pad != kv_len:
+        pad = ((0, 0), (0, kv_pad - kv_len), (0, 0))
+        k_r = jnp.pad(k_r, pad)
+        v_r = jnp.pad(v_r, pad)
+
+    num_q_tiles = seg_pad // block_q
+    num_kv_tiles = kv_pad // block_k
+    grid = (n_seg, hq, num_q_tiles, num_kv_tiles)
+
+    def q_index_map(s, h, qt, kt, start_ref, end_ref):
+        return (s, h, qt, 0)
+
+    def kv_index_map(s, h, qt, kt, start_ref, end_ref):
+        lo = start_ref[s] // block_k
+        hi = lax.div(end_ref[s] + block_k - 1, block_k)
+        kt_eff = jnp.clip(kt, lo, jnp.maximum(hi - 1, lo))
+        return (h // q_per_kv, kt_eff, 0)
+
+    def o_index_map(s, h, qt, kt, start_ref, end_ref):
+        return (s, h, qt, 0)
+
+    kernel = functools.partial(
+        _seg_attn_kernel,
+        sm_scale=sm_scale,
+        block_k=block_k,
+        num_kv_tiles=num_kv_tiles,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, hd), q_index_map),
+            pl.BlockSpec((1, block_k, hd), kv_index_map),
+            pl.BlockSpec((1, block_k, hd), kv_index_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, hd), o_index_map),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_seg, hq, seg_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), q_r, k_r, v_r)
+
+    out = out.transpose(0, 2, 1, 3)  # [n_seg, seg_pad, hq, hd]
+    if seg_pad != seg_len:
+        out = out[:, :seg_len]
+    return out.reshape(total_q, hq, hd)
+
+
+def segmented_attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_start: jax.Array,
+    kv_end: jax.Array,
+    *,
+    seg_len: int,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Dense jnp reference implementation (for tests and as an XLA fallback
+    on platforms without Mosaic).  Mirrors the per-chunk flash_attn loop
+    fallback in the reference (ref: dit_module.py:1047-1065)."""
+    total_q, hq, hd = q.shape
+    kv_len, hk, _ = k.shape
+    n_seg = total_q // seg_len
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+    q_per_kv = hq // hk
+    kf = jnp.repeat(k.astype(jnp.float32), q_per_kv, axis=1)
+    vf = jnp.repeat(v.astype(jnp.float32), q_per_kv, axis=1)
+    qf = q.astype(jnp.float32).reshape(n_seg, seg_len, hq, hd)
+
+    scores = jnp.einsum("nqhd,khd->nhqk", qf, kf) * sm_scale
+    col = jnp.arange(kv_len)[None, None, None, :]
+    valid = (col >= kv_start[:, None, None, None]) & (col < kv_end[:, None, None, None])
+    scores = jnp.where(valid, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)  # fully-masked rows -> 0
+    out = jnp.einsum("nhqk,khd->nqhd", probs, vf)
+    return out.reshape(total_q, hq, hd).astype(q.dtype)

@@ -1,0 +1,116 @@
+"""Segmented flash attention: Pallas (interpret mode on CPU) vs dense jnp
+reference, over every range pattern MAGI produces."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magi_tpu.ops.attention import segmented_attention, segmented_attention_reference
+
+ATTN = functools.partial(segmented_attention, interpret=True)
+
+
+def make_qkv(rng, n_seg, seg_len, kv_len, hq, hk, hd, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(n_seg * seg_len, hq, hd)), dtype)
+    k = jnp.asarray(rng.normal(size=(kv_len, hk, hd)), dtype)
+    v = jnp.asarray(rng.normal(size=(kv_len, hk, hd)), dtype)
+    return q, k, v
+
+
+def check(rng, n_seg, seg_len, kv_len, hq, hk, hd, starts, ends, **kw):
+    q, k, v = make_qkv(rng, n_seg, seg_len, kv_len, hq, hk, hd)
+    s = jnp.asarray(starts, jnp.int32)
+    e = jnp.asarray(ends, jnp.int32)
+    got = ATTN(q, k, v, s, e, seg_len=seg_len, **kw)
+    want = segmented_attention_reference(q, k, v, s, e, seg_len=seg_len)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_single_segment_full(rng):
+    # dense bidirectional attention (VAE-style), unaligned length
+    check(rng, 1, 200, 200, 2, 2, 64, [0], [200], block_q=128, block_k=128)
+
+
+def test_block_causal_default_ranges(rng):
+    # ARDF default: chunk i attends [0, (i+1)*ctn) — ref video_generate.py:454-465
+    n_seg, ctn = 4, 128
+    ends = [(i + 1) * ctn for i in range(n_seg)]
+    check(rng, n_seg, ctn, n_seg * ctn, 4, 2, 64, [0] * n_seg, ends, block_q=128, block_k=128)
+
+
+def test_noise2clean_sliding_ranges(rng):
+    # noisier chunks attend fewer previous chunks — ref video_generate.py:467-527
+    n_seg, ctn = 3, 160
+    starts = [0, 0, 160]
+    ends = [160, 320, 480]
+    check(rng, n_seg, ctn, 480, 2, 2, 64, starts, ends, block_q=128, block_k=128)
+
+
+def test_uncond_self_only_ranges(rng):
+    # each segment attends itself only — ref dit_model.py:92-101
+    n_seg, ctn = 3, 150
+    starts = [i * ctn for i in range(n_seg)]
+    ends = [(i + 1) * ctn for i in range(n_seg)]
+    check(rng, n_seg, ctn, n_seg * ctn, 4, 2, 64, starts, ends, block_q=128, block_k=128)
+
+
+def test_cross_attention_varlen(rng):
+    # per-segment caption slabs with variable valid lengths
+    n_seg, ctn, L = 2, 130, 256
+    starts = [i * L for i in range(n_seg)]
+    ends = [i * L + y for i, y in zip(range(n_seg), [17, 256])]
+    check(rng, n_seg, ctn, n_seg * L, 2, 2, 128, starts, ends, block_q=128, block_k=128)
+
+
+def test_gqa_grouping(rng):
+    check(rng, 2, 128, 256, 6, 2, 128, [0, 0], [128, 256], block_q=128, block_k=128)
+
+
+def test_kv_longer_than_needed(rng):
+    # ranges well inside a larger (cache-sized) kv buffer
+    n_seg, ctn = 2, 128
+    check(rng, n_seg, ctn, 768, 2, 2, 64, [64, 100], [190, 612], block_q=128, block_k=128)
+
+
+def test_empty_range_is_zero(rng):
+    q, k, v = make_qkv(rng, 2, 128, 256, 2, 2, 64)
+    s = jnp.asarray([0, 128], jnp.int32)
+    e = jnp.asarray([128, 128], jnp.int32)  # second segment empty
+    got = ATTN(q, k, v, s, e, seg_len=128, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got[128:]), 0.0)
+
+
+def test_bf16_inputs(rng):
+    n_seg, ctn = 2, 128
+    q, k, v = make_qkv(rng, n_seg, ctn, 256, 2, 2, 128, dtype=jnp.bfloat16)
+    s = jnp.asarray([0, 0], jnp.int32)
+    e = jnp.asarray([128, 256], jnp.int32)
+    got = ATTN(q, k, v, s, e, seg_len=ctn, block_q=128, block_k=128)
+    want = segmented_attention_reference(q, k, v, s, e, seg_len=ctn)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_unaligned_seg_and_kv(rng):
+    # seg_len and kv_len not multiples of the block sizes
+    check(rng, 3, 90, 270, 2, 2, 64, [0, 0, 0], [90, 180, 270], block_q=128, block_k=128)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_ranges_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    n_seg = int(rng.integers(1, 5))
+    seg_len = int(rng.integers(1, 4)) * 64 + int(rng.integers(0, 32))
+    kv_len = int(rng.integers(2, 4)) * 128
+    starts, ends = [], []
+    for _ in range(n_seg):
+        a, b = sorted(rng.integers(0, kv_len + 1, size=2).tolist())
+        if a == b:
+            b = min(kv_len, a + 1)
+        starts.append(a)
+        ends.append(b)
+    check(rng, n_seg, seg_len, kv_len, 2, 1, 64, starts, ends, block_q=128, block_k=128)
