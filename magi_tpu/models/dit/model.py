@@ -1,0 +1,384 @@
+"""VideoDiT — TPU-native functional rebuild of the reference DiT
+(ref: inference/model/dit/{dit_model.py,dit_module.py}).
+
+Design (TPU-first, not a port):
+  * Parameters are a plain pytree with torch-compatible key structure
+    (checkpoint mapping is a rename+transpose, see checkpoint/loader.py).
+  * The token axis packs batch into segments: every forward is
+    `n_segments` equal chunks of `seg_len` tokens (the reference's packed
+    q/kv-range scheme, generalized).  The unconditional CFG branch's
+    chunks->batch reshape (ref: dit_model.py:437-445) disappears: it is
+    just different kv ranges.
+  * Layers are stacked and driven by `lax.scan` -> one traced layer,
+    O(seconds) compiles even at 48 layers; the KV cache rides through the
+    scan as per-layer state (functional analog of
+    InferenceParams.key_value_memory_dict, ref: dataclass.py:62-83).
+  * fp32 islands preserved for numerical parity: embedders, QK layernorms,
+    gating/post-norms, final layernorm/linear (ref: dit_model.py:621-638);
+    everything else bf16 with fp32 MXU accumulation.
+  * Attention is the segmented Pallas flash kernel (ops/attention.py); the
+    KV view is a fixed-size buffer updated with dynamic_update_slice, so
+    the sliding ARDF window never changes compiled shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from magi_tpu.core.config import MagiConfig, ModelConfig
+from magi_tpu.core.dataclasses import ForwardMeta
+from magi_tpu.models.dit.embedders import (
+    ada_modulate_forward,
+    final_linear_forward,
+    init_embedder_params,
+    softcap,
+    t_embedder_forward,
+    y_embedder_forward,
+)
+from magi_tpu.models.dit.rope import apply_rotary, default_bands, rope_3d_segments
+from magi_tpu.ops.attention import segmented_attention, segmented_attention_reference
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _attention(q, k, v, kv_start, kv_end, *, seg_len):
+    if _use_pallas():
+        return segmented_attention(q, k, v, kv_start, kv_end, seg_len=seg_len)
+    return segmented_attention_reference(q, k, v, kv_start, kv_end, seg_len=seg_len)
+
+
+def layer_norm(x, params, eps: float, zero_centered: bool = False, compute_dtype=None):
+    """LayerNorm with optional zero-centered gamma (ref: dit_module.py:323-357).
+    Statistics always in fp32."""
+    orig_dtype = x.dtype if compute_dtype is None else compute_dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * lax.rsqrt(var + eps)
+    w = params["weight"].astype(jnp.float32)
+    if zero_centered:
+        w = w + 1.0
+    out = xn * w + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def _dot(x, w, high_precision: bool = False):
+    """bf16 matmul with fp32 MXU accumulation; optionally exact-fp32
+    (the reference's fp32-autocast islands, ref: dit_module.py:1343-1344)."""
+    if high_precision:
+        return jnp.dot(x.astype(jnp.float32), w.astype(jnp.float32), preferred_element_type=jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _bias_modulate_add(x, residual, gate, post_norm_params, eps, zero_centered, n_seg):
+    """fp32(gate[seg] * x) -> post_norm -> +residual (ref: dit_module.py:292-307).
+    The reference's Triton range_mod gather (N4) reduces to a per-segment
+    broadcast because segments are equal-length — XLA fuses it for free."""
+    S, D = x.shape
+    xf = x.astype(jnp.float32).reshape(n_seg, S // n_seg, D)
+    xf = xf * gate.astype(jnp.float32)[:, None, :]
+    xf = xf.reshape(S, D)
+    xf = layer_norm(xf, post_norm_params, eps, zero_centered, compute_dtype=jnp.float32)
+    return (xf + residual.astype(jnp.float32)).astype(residual.dtype)
+
+
+def attention_forward(
+    p: dict,
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # [S, D] bf16
+    y_xattn: jnp.ndarray,  # [n_seg, L, xattn_hidden] (fp32 from embedder)
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    cache_l: jnp.ndarray,  # [max_tok, hk, 2*hd]
+    meta: ForwardMeta,
+    high_precision: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FullyParallelAttention (ref: dit_module.py:851-1246).
+    Returns (core_attn_out [S, hq*hd], xattn_out [S, hq*hd], new_cache_l)."""
+    S, D = x.shape
+    hd = cfg.kv_channels
+    hq = cfg.num_attention_heads
+    hk = cfg.num_query_groups
+    eps = cfg.layernorm_epsilon
+    zc = cfg.apply_layernorm_1p
+    n_seg, ctn = meta.n_segments, meta.seg_len
+
+    mixed = layer_norm(x, p["linear_qkv"]["layer_norm"], eps)  # shared pre-LN, plain LN
+
+    # --- self-attn q/k/v with fp32 QK-norm + rope (ref: dit_module.py:953-1003) ---
+    q = _dot(mixed, p["linear_qkv"]["q"]["weight"]).reshape(S, hq, hd)
+    q = layer_norm(q, p["q_layernorm"], eps, zc, compute_dtype=jnp.float32)
+    q = apply_rotary(q, sin, cos).astype(x.dtype)
+
+    k = _dot(mixed, p["linear_qkv"]["k"]["weight"]).reshape(S, hk, hd)
+    k = layer_norm(k, p["k_layernorm"], eps, zc, compute_dtype=jnp.float32)
+    k = apply_rotary(k, sin, cos).astype(x.dtype)
+
+    v = _dot(mixed, p["linear_qkv"]["v"]["weight"]).reshape(S, hk, hd)
+    kv = jnp.concatenate([k, v], axis=-1)  # [S, hk, 2*hd]
+
+    # --- KV cache (ref: dit_module.py:891-946) ---
+    if meta.use_kv_cache:
+        start_tok = meta.slice_point * ctn
+        view = lax.dynamic_update_slice(cache_l, kv.astype(cache_l.dtype), (start_tok, 0, 0))
+        if meta.update_kv_cache:
+            # write-all-on-update; the distill ride-along chunk is excluded
+            # (ref: dit_module.py:918-929)
+            clip = S - ctn if meta.distill_nearly_clean_chunk else S
+            new_cache_l = lax.dynamic_update_slice(cache_l, kv[:clip].astype(cache_l.dtype), (start_tok, 0, 0))
+        else:
+            new_cache_l = cache_l
+        k_full = view[..., :hd].astype(x.dtype)
+        v_full = view[..., hd:].astype(x.dtype)
+    else:
+        new_cache_l = cache_l
+        k_full, v_full = k, v
+
+    core = _attention(q, k_full, v_full, meta.self_attn.kv_start, meta.self_attn.kv_end, seg_len=ctn)
+    core = core.reshape(S, hq * hd)
+
+    # --- cross-attn (ref: dit_module.py:1005-1021, 1098-1136) ---
+    qx = _dot(mixed, p["linear_qkv"]["qx"]["weight"]).reshape(S, hq, hd)
+    qx = layer_norm(qx, p["q_layernorm_xattn"], eps, zc)
+
+    L = y_xattn.shape[1]
+    y_flat = y_xattn.reshape(n_seg * L, -1).astype(x.dtype)
+    kv_x = _dot(y_flat, p["linear_kv_xattn"]["weight"]).reshape(n_seg * L, hk, 2 * hd)
+    k_x = layer_norm(kv_x[..., :hd], p["k_layernorm_xattn"], eps, zc)
+    v_x = kv_x[..., hd:]
+
+    x_starts = jnp.arange(n_seg, dtype=jnp.int32) * L
+    x_ends = x_starts + meta.y_lens.astype(jnp.int32)
+    xattn = _attention(qx, k_x, v_x, x_starts, x_ends, seg_len=ctn)
+    xattn = xattn.reshape(S, hq * hd)
+
+    return core, xattn, new_cache_l
+
+
+def layer_forward(
+    p: dict,
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # [S, D]
+    condition: jnp.ndarray,  # [n_seg, cond_hidden] fp32
+    y_xattn: jnp.ndarray,
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    cache_l: jnp.ndarray,
+    meta: ForwardMeta,
+    high_precision: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One parallel-attention transformer layer (ref: dit_module.py:1252-1367)."""
+    eps = cfg.layernorm_epsilon
+    zc = cfg.apply_layernorm_1p
+    residual = x
+
+    core, xattn, new_cache_l = attention_forward(
+        p["self_attention"], cfg, x, y_xattn, sin, cos, cache_l, meta, high_precision
+    )
+
+    # concat + TP8-legacy head interleave (ref: dit_module.py:1332-1338)
+    S = x.shape[0]
+    attn_out = jnp.concatenate([core, xattn], axis=-1)  # [S, 2*hq*hd]
+    two_d = attn_out.shape[-1]
+    attn_out = attn_out.reshape(S, 2, 8, two_d // 16).transpose(0, 2, 1, 3).reshape(S, two_d)
+    attn_out = _dot(attn_out, p["self_attention"]["linear_proj"]["weight"], high_precision=high_precision)
+    attn_out = attn_out.astype(x.dtype)
+
+    # gating (ref: dit_module.py:1348-1367)
+    gate = ada_modulate_forward(p["ada_modulate_layer"], condition)
+    gate = softcap(gate, 1.0)
+    gate_msa, gate_mlp = jnp.split(gate, 2, axis=-1)
+
+    x = _bias_modulate_add(attn_out, residual, gate_msa, p["self_attn_post_norm"], eps, zc, meta.n_segments)
+
+    residual = x
+    h = layer_norm(x, p["mlp"]["layer_norm"], eps)  # plain LN
+    h = _dot(h, p["mlp"]["linear_fc1"]["weight"])
+    if cfg.gated_linear_unit:
+        d = h.shape[-1] // 2
+        h = jax.nn.silu(h[..., :d].astype(jnp.float32)).astype(h.dtype) * h[..., d:]
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    h = _dot(h, p["mlp"]["linear_fc2"]["weight"])
+    x = _bias_modulate_add(h, residual, gate_mlp, p["mlp_post_norm"], eps, zc, meta.n_segments)
+    return x, new_cache_l
+
+
+def patchify(x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """[C, T, H, W] -> [T' * H' * W', C * tp * p * p] matching the Conv3d
+    stride=kernel patch embed (ref: dit_model.py:67-73) + the
+    '(T H W) N C' token order (ref: dit_model.py:295)."""
+    C, T, H, W = x.shape
+    tp, p = cfg.t_patch_size, cfg.patch_size
+    x = x.reshape(C, T // tp, tp, H // p, p, W // p, p)
+    # token (t,h,w); feature (C, tp, ph, pw) — conv weight layout [D, C, tp, p, p]
+    x = x.transpose(1, 3, 5, 0, 2, 4, 6)
+    return x.reshape((T // tp) * (H // p) * (W // p), C * tp * p * p)
+
+
+def unpatchify(x: jnp.ndarray, cfg: ModelConfig, T_patch: int, H: int, W: int) -> jnp.ndarray:
+    """[S, tp*p*p*C_out] -> [C_out, T, H*p, W*p] (ref: dit_model.py:103-112,
+    feature order '(pT pH pW C)')."""
+    tp, p = cfg.t_patch_size, cfg.patch_size
+    C = cfg.out_channels
+    x = x.reshape(T_patch, H, W, tp, p, p, C)
+    x = x.transpose(6, 0, 3, 1, 4, 2, 5)  # C, T', tp, H, p, W, p
+    return x.reshape(C, T_patch * tp, H * p, W * p)
+
+
+def dit_forward(
+    params: dict,
+    config: MagiConfig,
+    x: jnp.ndarray,  # [C, T, H, W] latent (fp32 or bf16)
+    t: jnp.ndarray,  # [n_seg] timesteps
+    y: jnp.ndarray,  # [n_seg, L, caption_channels]
+    caption_dropout: jnp.ndarray,  # scalar bool
+    kv_cache: jnp.ndarray,  # [num_layers, max_tok, hk, 2*hd]
+    meta: ForwardMeta,
+    t_offsets: jnp.ndarray,  # int32 [n_seg] temporal patch-grid offsets
+    distill_factor: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full DiT forward (ref: dit_model.py:114-398).
+    Returns (velocity [C_out(base), T, H, W], new_kv_cache)."""
+    mc = config.model_config
+    ec = config.engine_config
+
+    # --- pre-process, fp32 island (ref: dit_model.py:263-339) ---
+    x = x.astype(jnp.float32) * mc.x_rescale_factor
+    if mc.half_channel_vae:
+        x = jnp.concatenate([x, x], axis=0)  # (ref: dit_model.py:271-274)
+    C, T, H, W = x.shape
+    Hp, Wp = H // mc.patch_size, W // mc.patch_size
+    Tp = T // mc.t_patch_size
+    tokens = patchify(x, mc) @ params["x_embedder"]["weight"].astype(jnp.float32)  # [S, D]
+
+    chunk_patches = Tp // meta.n_segments
+    sin, cos = rope_3d_segments(params["rope"]["bands"], t_offsets, chunk_patches, Hp, Wp)
+
+    t_emb = t_embedder_forward(params["t_embedder"], t)
+    if ec.distill:
+        assert distill_factor is not None, "distill mode requires distill_factor"
+        dt = jnp.broadcast_to(jnp.asarray(distill_factor, jnp.float32), t.shape)
+        t_emb = t_emb + t_embedder_forward(params["t_embedder"], dt)
+
+    y_xattn, y_adaln = y_embedder_forward(params["y_embedder"], y, caption_dropout)
+    condition = (t_emb + y_adaln[None, :]).astype(jnp.float32)  # [n_seg, ch]
+
+    h = tokens.astype(mc.params_dtype)
+
+    # --- transformer blocks via scan (ref: dit_module.py:1373-1441) ---
+    def body(carry, xs):
+        blk_params, cache_l = xs
+        out, new_cache_l = layer_forward(
+            blk_params, mc, carry, condition, y_xattn, sin, cos, cache_l, meta,
+            high_precision=ec.high_precision_matmul,
+        )
+        return out, new_cache_l
+
+    h, new_cache = lax.scan(body, h, (params["blocks"], kv_cache))
+
+    h = layer_norm(h.astype(jnp.float32), params["final_layernorm"], mc.layernorm_epsilon, mc.apply_layernorm_1p)
+
+    # --- post-process, fp32 island (ref: dit_model.py:341-360) ---
+    out = final_linear_forward(params["final_linear"], h)
+    out = unpatchify(out, mc, Tp, Hp, Wp)
+    if mc.half_channel_vae:
+        out = out[: mc.out_channels // 2]  # (ref: dit_model.py:354-356, 32->16)
+    out = out / mc.x_rescale_factor
+    return out, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (SKIP_LOAD_MODEL analog, ref: dit_model.py:600-618)
+# ---------------------------------------------------------------------------
+
+
+def init_dit_params(key: jax.Array, config: MagiConfig) -> dict:
+    """Random-weight init — the SKIP_LOAD_MODEL analog (ref: dit_model.py:602).
+    Uses numpy RNG for speed; real weights come from checkpoint/loader.py."""
+    import numpy as np
+
+    mc = config.model_config
+    D = mc.hidden_size
+    hd = mc.kv_channels
+    hq = mc.num_attention_heads
+    hk = mc.num_query_groups
+    ch = mc.cond_hidden_size
+    xh = mc.xattn_cond_hidden_size
+    gh = mc.gate_hidden_size
+    L = mc.num_layers
+    dtype = mc.params_dtype
+    ffn = mc.ffn_hidden_size
+    fc1_out = 2 * ffn if mc.gated_linear_unit else ffn
+
+    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+
+    def lin(i, o, dt=dtype, std=0.02, stacked=True, bias=False):
+        shape = (L, i, o) if stacked else (i, o)
+        p = {"weight": jnp.asarray(rng.normal(0, std, shape).astype(np.float32), dt)}
+        if bias:
+            p["bias"] = jnp.zeros(shape[:-2] + (o,), dt)
+        return p
+
+    def norm(n, dt, stacked=True):
+        shape = (L, n) if stacked else (n,)
+        w = jnp.zeros(shape, dt) if mc.apply_layernorm_1p else jnp.ones(shape, dt)
+        return {"weight": w, "bias": jnp.zeros(shape, dt)}
+
+    def plain_norm(n, dt, stacked=True):
+        shape = (L, n) if stacked else (n,)
+        return {"weight": jnp.ones(shape, dt), "bias": jnp.zeros(shape, dt)}
+
+    blocks = {
+        "ada_modulate_layer": {"proj": {"0": lin(ch, 2 * gh, bias=True)}},
+        "self_attention": {
+            "linear_qkv": {
+                "layer_norm": plain_norm(D, dtype),
+                "q": lin(D, hq * hd),
+                "qx": lin(D, hq * hd),
+                "k": lin(D, hk * hd),
+                "v": lin(D, hk * hd),
+            },
+            "q_layernorm": norm(hd, jnp.float32),
+            "k_layernorm": norm(hd, jnp.float32),
+            "q_layernorm_xattn": norm(hd, dtype),
+            "k_layernorm_xattn": norm(hd, dtype),
+            "linear_kv_xattn": lin(xh, 2 * hk * hd),
+            "linear_proj": lin(2 * hq * hd, D),
+        },
+        "self_attn_post_norm": norm(D, jnp.float32),
+        "mlp": {
+            "layer_norm": plain_norm(D, dtype),
+            "linear_fc1": lin(D, fc1_out),
+            "linear_fc2": lin(ffn, D),
+        },
+        "mlp_post_norm": norm(D, jnp.float32),
+    }
+
+    in_feat = mc.in_channels * mc.t_patch_size * mc.patch_size**2
+    params = {
+        "x_embedder": {"weight": jnp.asarray(rng.normal(0, 0.02, (in_feat, D)).astype(np.float32))},
+        "rope": {"bands": default_bands(D // hq)},
+        "blocks": blocks,
+        "final_layernorm": norm(D, jnp.float32, stacked=False),
+    }
+    params.update(init_embedder_params(jax.random.fold_in(key, 1), mc))
+    return params
+
+
+def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
+    mc = config.model_config
+    return (mc.num_layers, max_tokens, mc.num_query_groups, 2 * mc.kv_channels)
+
+
+def init_kv_cache(config: MagiConfig, max_tokens: int, dtype=None) -> jnp.ndarray:
+    dtype = dtype or config.model_config.params_dtype
+    return jnp.zeros(kv_cache_shape(config, max_tokens), dtype)

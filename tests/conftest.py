@@ -3,14 +3,18 @@ sharding path is unit-testable without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before backend initialization.  NOTE: this environment may
+# pre-register a TPU PJRT plugin via sitecustomize with JAX_PLATFORMS
+# already captured, so setting the env var alone is not enough — use
+# jax.config (backends initialize lazily, so this still wins).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
