@@ -1,0 +1,569 @@
+"""ARDF sample transport: the chunk-wise autoregressive denoising walk
+(ref: inference/pipeline/video_generate.py:251-754, SampleTransport).
+
+TPU-native structure: the host loop does only scheduling arithmetic
+(windows, timesteps, kv ranges, CFG scales — all tiny numpy); each denoise
+step is ONE jitted device function per CFG branch-set that slices the
+latent state, runs the DiT forwards, combines CFG branches, Euler-integrates
+and writes the window back.  jit specializes on the handful of distinct
+(n_denoise, extra-chunk) combinations; the sliding window itself is a
+traced value (no recompilation as generation progresses).
+
+The reference's duplicated latent state (`x = cat([x, x])`,
+ref: video_generate.py:307-309) is vestigial — both halves stay identical —
+and is dropped here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import Counter
+from typing import Generator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magi_tpu.core.config import MagiConfig
+from magi_tpu.core.dataclasses import ForwardMeta, SegmentAttnSpec
+from magi_tpu.core.logger import print_rank_0
+from magi_tpu.models.dit.model import dit_forward, init_kv_cache
+from magi_tpu.sampling import kv_ranges as kvr
+from magi_tpu.sampling import schedule as sched
+
+
+@dataclasses.dataclass
+class InferenceInput:
+    """Pre-assembled conditioning for one generation request
+    (ref: InferenceInput + extract_feature_for_inference,
+    video_generate.py:33-136)."""
+
+    caption_embs: jax.Array  # [n_chunks, L, caption_channels] text per chunk
+    caption_lens: np.ndarray  # [n_chunks] valid caption tokens (prefix mask)
+    null_emb: jax.Array  # [L, caption_channels] negative caption slab
+    null_len: int  # valid tokens of the null slab (ref: 50)
+    latent_size: Tuple[int, int, int, int]  # (C, T, H, W)
+    num_steps: int
+    chunk_num: int
+    has_text: bool  # False -> even the text branch uses null captions
+    prefix_video: Optional[jax.Array] = None  # [C, T_pre, H, W] latent
+    prev_chunks_scale: float = 0.7  # distill nearly-clean blend (env override)
+
+
+def _meta(
+    n_seg: int,
+    ctn: int,
+    HP: int,
+    WP: int,
+    slice_point,
+    kv_start,
+    kv_end,
+    y_lens,
+    *,
+    update: bool,
+    use_cache: bool,
+    extra: bool = False,
+    distill_nearly: bool = False,
+) -> ForwardMeta:
+    return ForwardMeta(
+        n_segments=n_seg,
+        seg_len=ctn,
+        H=HP,
+        W=WP,
+        T_total=0,  # informational only
+        update_kv_cache=update,
+        use_kv_cache=use_cache,
+        distill_nearly_clean_chunk=distill_nearly,
+        fwd_extra_1st_chunk=extra,
+        slice_point=jnp.asarray(slice_point, jnp.int32),
+        self_attn=SegmentAttnSpec(
+            kv_start=jnp.asarray(kv_start, jnp.int32), kv_end=jnp.asarray(kv_end, jnp.int32)
+        ),
+        y_lens=jnp.asarray(y_lens, jnp.int32),
+    )
+
+
+class ArdfSampler:
+    """Drives chunk-wise autoregressive denoising for one request
+    (PP>1 multi-request pipelining is handled at the mesh level, not here)."""
+
+    def __init__(self, config: MagiConfig, params, inp: InferenceInput, key: jax.Array):
+        self.config = config
+        self.params = params
+        self.inp = inp
+        mc, rc, ec = config.model_config, config.runtime_config, config.engine_config
+
+        C, T, H, W = inp.latent_size
+        self.cw = rc.chunk_width
+        self.window = rc.window_size
+        self.HP, self.WP = H // mc.patch_size, W // mc.patch_size
+        self.chunk_patches = self.cw // mc.t_patch_size
+        self.ctn = self.chunk_patches * self.HP * self.WP
+        self.num_steps = inp.num_steps
+        self.chunk_num = inp.chunk_num
+        self.L = inp.caption_embs.shape[1]
+
+        self.t_total = sched.init_t(inp.num_steps, shortcut_mode=ec.shortcut_mode)
+        self.interval = sched.init_interval(inp.num_steps, shortcut_mode=ec.shortcut_mode)
+
+        self.xs = jax.random.normal(key, inp.latent_size, dtype=jnp.float32)
+        self.cache = init_kv_cache(config, (self.chunk_num + 1) * self.ctn)
+        self.counts: Counter = Counter()
+
+        self.chunk_offset = 0
+        if inp.prefix_video is not None:
+            self.chunk_offset = inp.prefix_video.shape[1] // self.cw
+            pad_T = self.chunk_num * self.cw
+            pv = inp.prefix_video.astype(jnp.float32)
+            self.prefix_buf = jnp.pad(pv, ((0, 0), (0, pad_T - pv.shape[1]), (0, 0), (0, 0)))
+            self.prefix_len = int(pv.shape[1])
+        else:
+            self.prefix_buf = jnp.zeros((C, self.cw, H, W), jnp.float32)  # dummy
+            self.prefix_len = 0
+
+        # jitted steps (specialize per static meta/shape combination)
+        self._jit_cfg3 = jax.jit(
+            functools.partial(_cfg3_step, config),
+            static_argnames=("n_den", "extra", "use_prefix"),
+            donate_argnums=(1, 2),
+        )
+        self._jit_cfg1 = jax.jit(
+            functools.partial(_cfg1_step, config),
+            static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
+            donate_argnums=(1, 2),
+        )
+        self._jit_warmup = jax.jit(
+            functools.partial(_prefix_warmup_step, config),
+            static_argnames=("n_chunks",),
+            donate_argnums=(1,),
+        )
+
+    # ----- per-step host arithmetic -------------------------------------
+
+    def _status(self, step: int):
+        dpss = self.num_steps // self.window
+        stage, didx = divmod(step, dpss)
+        cs_s, ce_s, ts_s, te_s = sched.generate_sequences(self.chunk_num, self.window, self.chunk_offset)
+        return dpss, didx, cs_s[stage], ce_s[stage], ts_s[stage], te_s[stage]
+
+    def total_forward_steps(self) -> int:
+        dpss = self.num_steps // self.window
+        return dpss * (self.chunk_num + self.window - 1 - self.chunk_offset)
+
+    def _cfg_scales(self, cfg_t: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-chunk CFG scales via t-range lookup (ref: dit_model.py:496-499)."""
+        rc = self.config.runtime_config
+        rng = np.asarray(rc.cfg_t_range, np.float32) - 1e-7
+        idx = np.searchsorted(rng, cfg_t) - 1
+        assert idx.min() >= 0 and idx.max() < len(rc.prev_chunk_scales)
+        return (
+            np.asarray(rc.prev_chunk_scales, np.float32)[idx],
+            np.asarray(rc.text_scales, np.float32)[idx],
+        )
+
+    # ----- the walk -------------------------------------------------------
+
+    def walk(self) -> Generator[Tuple[int, np.ndarray], None, None]:
+        """Yields (chunk_idx, clean latent [C, <=cw, H, W]) as chunks finish
+        (ref: video_generate.py:721-754)."""
+        rc, ec = self.config.runtime_config, self.config.engine_config
+        inp = self.inp
+
+        if self.chunk_offset > 0:
+            self._run_prefix_warmup()
+
+        for step in range(self.total_forward_steps()):
+            dpss, didx, c_start, c_end, t_start, t_end = self._status(step)
+            n_den = c_end - c_start
+            extra = bool(c_start > self.chunk_offset and didx == 0)
+            sp = c_start - int(extra)
+            n_seg = n_den + int(extra)
+
+            tvec = sched.get_timestep(
+                self.t_total, dpss, t_start, t_end, didx, clean_t=rc.clean_t if extra else None
+            )
+            steps_of_chunks = sched.denoise_step_of_each_chunk(
+                dpss, t_start, t_end, didx, num_steps=self.num_steps if extra else None
+            )
+            kv_start, kv_end = kvr.denoising_kvrange(
+                rc, sp, n_seg, steps_of_chunks, self.num_steps, self.ctn
+            )
+            t_before = sched.get_timestep(self.t_total, dpss, t_start, t_end, didx)
+            t_after = sched.get_timestep(self.t_total, dpss, t_start, t_end, didx + 1)
+            dt = (t_after - t_before).astype(np.float32)
+
+            # caption windows (host-side numpy lengths; device arrays sliced in-jit)
+            y_lens_win = self.inp.caption_lens[c_start:c_end].astype(np.int32)
+
+            use_prefix = self.prefix_len > 0
+            # mirror prefix padding's t override on host for flag decisions
+            # (ref: flag computed AFTER try_pad, video_generate.py:646-655)
+            tvec_padded = tvec.copy()
+            if use_prefix:
+                nclean = max(self.prefix_len - sp * self.cw, 0) // self.cw
+                tvec_padded[:nclean] = 1.0
+
+            if rc.cfg_number == 3:
+                ps, ts_ = self._cfg_scales(tvec_padded[-n_den:])
+                self.xs, self.cache = self._jit_cfg3(
+                    self.params,
+                    self.xs,
+                    self.cache,
+                    jnp.int32(sp),
+                    inp.caption_embs if inp.has_text else jnp.broadcast_to(inp.null_emb, inp.caption_embs.shape),
+                    jnp.asarray(
+                        y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
+                    ),
+                    inp.null_emb,
+                    jnp.int32(inp.null_len),
+                    jnp.asarray(tvec),
+                    jnp.asarray(kv_start),
+                    jnp.asarray(kv_end),
+                    jnp.asarray(dt),
+                    jnp.asarray(ps),
+                    jnp.asarray(ts_),
+                    self.prefix_buf,
+                    jnp.int32(self.prefix_len),
+                    n_den=n_den,
+                    extra=extra,
+                    use_prefix=use_prefix,
+                )
+            elif rc.cfg_number == 1:
+                nearly_clean_t = float(tvec_padded[int(extra)])
+                distill_nearly = bool(
+                    nearly_clean_t > ec.distill_nearly_clean_chunk_threshold
+                )
+                dfac = (
+                    sched.distill_dt_factor(self.num_steps, float(self.interval[didx]))
+                    if ec.distill
+                    else 0.0
+                )
+                self.xs, self.cache = self._jit_cfg1(
+                    self.params,
+                    self.xs,
+                    self.cache,
+                    jnp.int32(sp),
+                    inp.caption_embs if inp.has_text else jnp.broadcast_to(inp.null_emb, inp.caption_embs.shape),
+                    jnp.asarray(
+                        y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
+                    ),
+                    inp.null_emb,
+                    jnp.int32(inp.null_len),
+                    jnp.asarray(tvec),
+                    jnp.asarray(kv_start),
+                    jnp.asarray(kv_end),
+                    jnp.asarray(dt),
+                    jnp.float32(dfac),
+                    jnp.float32(inp.prev_chunks_scale),
+                    self.prefix_buf,
+                    jnp.int32(self.prefix_len),
+                    n_den=n_den,
+                    extra=extra,
+                    use_prefix=use_prefix,
+                    distill_nearly=distill_nearly,
+                )
+            else:
+                raise NotImplementedError(f"cfg_number={rc.cfg_number}")
+
+            # bookkeeping + emission (ref: video_generate.py:693-719)
+            for ci in range(c_start, c_end):
+                self.counts[ci] += 1
+            if self.counts[c_start] == self.num_steps:
+                chunk = self._emit(c_start)
+                if chunk is not None:
+                    yield c_start - self.chunk_offset, chunk
+
+    def _emit(self, chunk_idx: int) -> Optional[np.ndarray]:
+        cw = self.cw
+        lo, hi = chunk_idx * cw, (chunk_idx + 1) * cw
+        if self.prefix_len > 0:
+            if hi <= self.prefix_len:
+                return None
+            real_start = max(lo, self.prefix_len)
+            # Keep the first 4-frames only for I2V (ref: video_generate.py:708-710)
+            if chunk_idx == 0 and self.prefix_len == 1:
+                real_start = 0
+            return np.asarray(self.xs[:, real_start:hi])
+        return np.asarray(self.xs[:, lo:hi])
+
+    def _run_prefix_warmup(self) -> None:
+        """Write the prefix video's clean KV into the cache
+        (ref: extract_prefix_video_feature, video_generate.py:389-433)."""
+        print_rank_0(f"extract clean feature for prefix video, chunk_offset: {self.chunk_offset}")
+        rc, ec = self.config.runtime_config, self.config.engine_config
+        n = self.chunk_offset
+        kv_s, kv_e = kvr.prefix_kvrange(rc, n, self.ctn)
+        dfac = (
+            sched.distill_dt_factor(self.num_steps, float(self.interval[0])) if ec.distill else 0.0
+        )
+        self.cache = self._jit_warmup(
+            self.params,
+            self.cache,
+            self.prefix_buf[:, : n * self.cw],
+            self.inp.null_emb,
+            jnp.int32(self.inp.null_len),
+            jnp.asarray(kv_s),
+            jnp.asarray(kv_e),
+            jnp.float32(rc.clean_t),
+            jnp.float32(dfac),
+            n_chunks=n,
+        )
+
+
+# ---------------------------------------------------------------------------
+# jitted device steps
+# ---------------------------------------------------------------------------
+
+
+def _slice_window(xs, sp, n_seg, cw):
+    C, T, H, W = xs.shape
+    return jax.lax.dynamic_slice(xs, (0, sp * cw, 0, 0), (C, n_seg * cw, H, W))
+
+
+def _apply_prefix(x_chunk, tvec, prefix_buf, prefix_len, sp, cw, n_seg):
+    """Paste prefix-video latents over the window and mark fully-covered
+    chunks clean, t=1.0 (ref: try_pad_prefix_video, video_generate.py:435-452)."""
+    C, Tw, H, W = x_chunk.shape
+    start_f = sp * cw
+    pwin = jax.lax.dynamic_slice(prefix_buf, (0, start_f, 0, 0), (C, Tw, H, W))
+    fidx = start_f + jnp.arange(Tw)
+    x_chunk = jnp.where((fidx < prefix_len)[None, :, None, None], pwin, x_chunk)
+    nclean = jnp.maximum(prefix_len - start_f, 0) // cw
+    tvec = jnp.where(jnp.arange(n_seg) < nclean, 1.0, tvec)
+    return x_chunk, tvec
+
+
+def _build_y(caption_embs, null_emb, null_len, y_lens_win, sp, extra, n_den, L):
+    """Assemble per-segment captions: optional leading clean chunk gets the
+    null caption (ref: video_generate.py:614-625)."""
+    c_start = sp + (1 if extra else 0)
+    y_win = jax.lax.dynamic_slice(
+        caption_embs, (c_start, 0, 0), (n_den,) + caption_embs.shape[1:]
+    )
+    if extra:
+        y = jnp.concatenate([null_emb[None], y_win], axis=0)
+        lens = jnp.concatenate([jnp.asarray([null_len], jnp.int32), y_lens_win])
+    else:
+        y, lens = y_win, y_lens_win
+    return y, lens
+
+
+def _integrate_and_store(xs, x_chunk_den, velocity, dt, c_start, cw, n_den):
+    """Per-chunk Euler step x += v*dt, written back into the latent state
+    (ref: integrate, video_generate.py:529-549)."""
+    C, Tw, H, W = x_chunk_den.shape
+    v = velocity.reshape(C, n_den, cw, H, W)
+    x = x_chunk_den.reshape(C, n_den, cw, H, W)
+    x = x + v * dt[None, :, None, None, None]
+    x = x.reshape(C, Tw, H, W)
+    return jax.lax.dynamic_update_slice(xs, x, (0, c_start * cw, 0, 0))
+
+
+def _cfg3_step(
+    config,
+    params,
+    xs,
+    cache,
+    sp,
+    caption_embs,
+    y_lens_win,
+    null_emb,
+    null_len,
+    tvec,
+    kv_start,
+    kv_end,
+    dt,
+    ps,
+    ts_,
+    prefix_buf,
+    prefix_len,
+    *,
+    n_den: int,
+    extra: bool,
+    use_prefix: bool,
+):
+    """One denoise step with 3-branch CFG (ref: dit_model.py:400-537)."""
+    mc, rc = config.model_config, config.runtime_config
+    cw = rc.chunk_width
+    n_seg = n_den + int(extra)
+    HP = xs.shape[2] // mc.patch_size
+    WP = xs.shape[3] // mc.patch_size
+    chunk_patches = cw // mc.t_patch_size
+    ctn = chunk_patches * HP * WP
+    L = caption_embs.shape[1]
+
+    x_chunk = _slice_window(xs, sp, n_seg, cw)
+    if use_prefix:
+        x_chunk, tvec = _apply_prefix(x_chunk, tvec, prefix_buf, prefix_len, sp, cw, n_seg)
+
+    y_text, lens_text = _build_y(caption_embs, null_emb, null_len, y_lens_win, sp, extra, n_den, L)
+    y_null = jnp.broadcast_to(null_emb[None], (n_seg, L, null_emb.shape[-1]))
+    lens_null = jnp.full((n_seg,), null_len, jnp.int32)
+
+    t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
+
+    # branch 1: cond on prev + text (no cache write, ref: dit_model.py:413-423)
+    meta1 = _meta(n_seg, ctn, HP, WP, sp, kv_start, kv_end, lens_text, update=False, use_cache=True, extra=extra)
+    v1, _ = dit_forward(params, config, x_chunk, tvec, y_text, jnp.asarray(False), cache, meta1, t_off)
+
+    # branch 2: cond on prev, null caption — writes the cache (ref: :425-435)
+    meta2 = _meta(n_seg, ctn, HP, WP, sp, kv_start, kv_end, lens_null, update=True, use_cache=True, extra=extra)
+    v2, cache = dit_forward(params, config, x_chunk, tvec, y_null, jnp.asarray(True), cache, meta2, t_off)
+
+    # branch 3: unconditional — self-only ranges, fresh positions, no cache
+    # (ref: dit_model.py:447-492; chunks->batch becomes just different ranges)
+    u_start, u_end = kvr.self_only_kvrange(n_den, ctn)
+    meta3 = _meta(
+        n_den, ctn, HP, WP, 0, u_start, u_end, lens_null[:n_den], update=False, use_cache=False
+    )
+    x_den = x_chunk[:, -n_den * cw :]
+    t_den = tvec[-n_den:]
+    t_off3 = jnp.zeros(n_den, jnp.int32)
+    v3, _ = dit_forward(
+        params, config, x_den, t_den, y_null[:n_den], jnp.asarray(True),
+        jnp.zeros((mc.num_layers, 0) + cache.shape[2:], cache.dtype), meta3, t_off3,
+    )
+
+    # combine (ref: dit_model.py:520-533)
+    def per_chunk(o):
+        return o.reshape(o.shape[0], n_den, cw, *o.shape[2:])
+
+    dw = n_den * cw
+    c1 = per_chunk(v1[:, -dw:])
+    c2 = per_chunk(v2[:, -dw:])
+    u = per_chunk(v3)
+    scale_p = ps[None, :, None, None, None]
+    scale_t = ts_[None, :, None, None, None]
+    velocity = (1 - scale_p) * u + (scale_p - scale_t) * c2 + scale_t * c1
+    velocity = velocity.reshape(velocity.shape[0], dw, *velocity.shape[3:])
+
+    c_start = sp + int(extra)
+    xs = _integrate_and_store(xs, x_chunk[:, -dw:], velocity, dt, jnp.int32(c_start), cw, n_den)
+    return xs, cache
+
+
+def _cfg1_step(
+    config,
+    params,
+    xs,
+    cache,
+    sp,
+    caption_embs,
+    y_lens_win,
+    null_emb,
+    null_len,
+    tvec,
+    kv_start,
+    kv_end,
+    dt,
+    distill_factor,
+    prev_chunks_scale,
+    prefix_buf,
+    prefix_len,
+    *,
+    n_den: int,
+    extra: bool,
+    use_prefix: bool,
+    distill_nearly: bool,
+):
+    """One denoise step, single-branch (distill/quant) CFG
+    (ref: dit_model.py:538-595)."""
+    mc, rc, ec = config.model_config, config.runtime_config, config.engine_config
+    cw = rc.chunk_width
+    n_seg = n_den + int(extra)
+    HP = xs.shape[2] // mc.patch_size
+    WP = xs.shape[3] // mc.patch_size
+    chunk_patches = cw // mc.t_patch_size
+    ctn = chunk_patches * HP * WP
+    L = caption_embs.shape[1]
+
+    x_chunk = _slice_window(xs, sp, n_seg, cw)
+    if use_prefix:
+        x_chunk, tvec = _apply_prefix(x_chunk, tvec, prefix_buf, prefix_len, sp, cw, n_seg)
+
+    y_text, lens_text = _build_y(caption_embs, null_emb, null_len, y_lens_win, sp, extra, n_den, L)
+    t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
+    dfac = distill_factor if ec.distill else None
+
+    if distill_nearly:
+        # ride-along copy of the nearly-clean chunk conditioned on text only
+        # (ref: dit_model.py:544-577)
+        ss = 1 if extra else 0
+        x_nc = jax.lax.dynamic_slice(
+            x_chunk, (0, ss * cw, 0, 0), (x_chunk.shape[0], cw) + x_chunk.shape[2:]
+        )
+        x_cat = jnp.concatenate([x_chunk, x_nc], axis=1)
+        vmax = (sp + n_seg) * ctn
+        kv_start_cat = jnp.concatenate([kv_start, jnp.asarray([vmax], jnp.int32)])
+        kv_end_cat = jnp.concatenate([kv_end, jnp.asarray([vmax + ctn], jnp.int32)])
+        t_cat = jnp.concatenate([tvec, tvec[ss : ss + 1]])
+        y_cat = jnp.concatenate([y_text, y_text[ss : ss + 1]], axis=0)
+        lens_cat = jnp.concatenate([lens_text, lens_text[ss : ss + 1]])
+        t_off_cat = jnp.concatenate([t_off, jnp.asarray([(sp + n_seg) * chunk_patches], jnp.int32)])
+
+        meta = _meta(
+            n_seg + 1, ctn, HP, WP, sp, kv_start_cat, kv_end_cat, lens_cat,
+            update=True, use_cache=True, extra=extra, distill_nearly=True,
+        )
+        out_cat, cache = dit_forward(
+            params, config, x_cat, t_cat, y_cat, jnp.asarray(False), cache, meta, t_off_cat,
+            distill_factor=dfac,
+        )
+        near_pre_text = out_cat[:, ss * cw : (ss + 1) * cw]
+        near_text = out_cat[:, -cw:]
+        blended = near_pre_text * prev_chunks_scale + near_text * (1 - prev_chunks_scale)
+        out = out_cat[:, : n_seg * cw]
+        out = jax.lax.dynamic_update_slice(out, blended, (0, ss * cw, 0, 0))
+    else:
+        meta = _meta(
+            n_seg, ctn, HP, WP, sp, kv_start, kv_end, lens_text,
+            update=True, use_cache=True, extra=extra,
+        )
+        out, cache = dit_forward(
+            params, config, x_chunk, tvec, y_text, jnp.asarray(False), cache, meta, t_off,
+            distill_factor=dfac,
+        )
+
+    dw = n_den * cw
+    velocity = out[:, -dw:]
+    c_start = sp + int(extra)
+    xs = _integrate_and_store(xs, x_chunk[:, -dw:], velocity, dt, jnp.int32(c_start), cw, n_den)
+    return xs, cache
+
+
+def _prefix_warmup_step(
+    config,
+    params,
+    cache,
+    prefix_latent,  # [C, n_chunks*cw, H, W]
+    null_emb,
+    null_len,
+    kv_start,
+    kv_end,
+    clean_t,
+    distill_factor,
+    *,
+    n_chunks: int,
+):
+    """Forward the clean prefix chunks once to populate the KV cache
+    (ref: extract_prefix_video_feature, video_generate.py:389-433)."""
+    mc, rc, ec = config.model_config, config.runtime_config, config.engine_config
+    cw = rc.chunk_width
+    HP = prefix_latent.shape[2] // mc.patch_size
+    WP = prefix_latent.shape[3] // mc.patch_size
+    chunk_patches = cw // mc.t_patch_size
+    ctn = chunk_patches * HP * WP
+    L = null_emb.shape[0]
+
+    y = jnp.broadcast_to(null_emb[None], (n_chunks, L, null_emb.shape[-1]))
+    lens = jnp.full((n_chunks,), null_len, jnp.int32)
+    t = jnp.full((n_chunks,), clean_t, jnp.float32)
+    t_off = jnp.arange(n_chunks, dtype=jnp.int32) * chunk_patches
+    meta = _meta(n_chunks, ctn, HP, WP, 0, kv_start, kv_end, lens, update=True, use_cache=True)
+    dfac = distill_factor if ec.distill else None
+    _, cache = dit_forward(
+        params, config, prefix_latent, t, y, jnp.asarray(True), cache, meta, t_off,
+        distill_factor=dfac,
+    )
+    return cache

@@ -1,0 +1,100 @@
+"""End-to-end ARDF walk tests on the tiny model: chunk emission order and
+count, denoise accounting, t2v/i2v/v2v/distill variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magi_tpu.models.dit.model import init_dit_params
+from magi_tpu.sampling.transport import ArdfSampler, InferenceInput
+from tests.tiny import tiny_config
+
+H = W = 8
+
+
+def make_input(cfg, chunk_num, has_text=True, prefix_frames=0, key=0):
+    mc, rc = cfg.model_config, cfg.runtime_config
+    L = mc.caption_max_length
+    k = jax.random.PRNGKey(key)
+    caption = jax.random.normal(k, (chunk_num, L, mc.caption_channels))
+    lens = np.full(chunk_num, L // 2, np.int32)
+    null = jax.random.normal(jax.random.fold_in(k, 1), (L, mc.caption_channels))
+    prefix = None
+    if prefix_frames:
+        prefix = jax.random.normal(
+            jax.random.fold_in(k, 2), (mc.in_channels, prefix_frames, H, W)
+        )
+    return InferenceInput(
+        caption_embs=caption,
+        caption_lens=lens,
+        null_emb=null,
+        null_len=8,
+        latent_size=(mc.in_channels, chunk_num * rc.chunk_width, H, W),
+        num_steps=rc.num_steps,
+        chunk_num=chunk_num,
+        has_text=has_text,
+        prefix_video=prefix,
+    )
+
+
+def collect(cfg, inp):
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    sampler = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
+    return list(sampler.walk()), sampler
+
+
+def test_t2v_walk_emits_all_chunks():
+    cfg = tiny_config()
+    chunk_num = 3
+    chunks, sampler = collect(cfg, make_input(cfg, chunk_num))
+    assert [c[0] for c in chunks] == list(range(chunk_num))
+    for _, lat in chunks:
+        assert lat.shape == (cfg.model_config.in_channels, cfg.runtime_config.chunk_width, H, W)
+        assert np.isfinite(lat).all()
+    # every chunk fully denoised
+    for ci in range(chunk_num):
+        assert sampler.counts[ci] == cfg.runtime_config.num_steps
+
+
+def test_t2v_no_text_branch():
+    cfg = tiny_config()
+    chunks, _ = collect(cfg, make_input(cfg, 2, has_text=False))
+    assert len(chunks) == 2
+
+
+def test_v2v_prefix_walk():
+    cfg = tiny_config()
+    chunk_num, cw = 4, cfg.runtime_config.chunk_width
+    inp = make_input(cfg, chunk_num, prefix_frames=2 * cw)  # 2 clean prefix chunks
+    chunks, sampler = collect(cfg, inp)
+    assert sampler.chunk_offset == 2
+    assert [c[0] for c in chunks] == [0, 1]  # only non-prefix chunks emitted
+    assert sampler.total_forward_steps() == (cfg.runtime_config.num_steps // cfg.runtime_config.window_size) * (
+        chunk_num + cfg.runtime_config.window_size - 1 - 2
+    )
+
+
+def test_i2v_single_frame_prefix():
+    cfg = tiny_config()
+    inp = make_input(cfg, 2, prefix_frames=1)
+    # 1 frame < chunk_width -> chunk_offset 0, first chunk partially prefixed
+    chunks, sampler = collect(cfg, inp)
+    assert sampler.chunk_offset == 0
+    assert [c[0] for c in chunks] == [0, 1]
+    # i2v special case keeps the first frame (ref: video_generate.py:708-710)
+    assert chunks[0][1].shape[1] == cfg.runtime_config.chunk_width
+
+
+def test_distill_cfg1_walk():
+    cfg = tiny_config(engine={"distill": True}, runtime={"cfg_number": 1, "num_steps": 4, "window_size": 2})
+    chunks, _ = collect(cfg, make_input(cfg, 2))
+    assert len(chunks) == 2
+    for _, lat in chunks:
+        assert np.isfinite(lat).all()
+
+
+def test_noise2clean_walk():
+    cfg = tiny_config(runtime={"noise2clean_kvrange": [3, 3, 2, 2], "clean_chunk_kvrange": 1})
+    chunks, _ = collect(cfg, make_input(cfg, 3))
+    assert len(chunks) == 3
