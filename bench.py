@@ -1,0 +1,146 @@
+"""North-star benchmark: frames/sec/chip at 4.5B 480p (BASELINE.json).
+
+Runs the real ARDF sampler (3-branch CFG, 64 steps, window 4, chunk_width 6,
+noise2clean kv ranges — the reference 4.5B base generation config at 480p)
+with zero-initialized 4.5B weights (TPU matmul latency is data-independent)
+and measures steady-state denoise throughput, excluding compile time.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md: `published`
+empty); vs_baseline is reported against a reference-hardware estimate:
+the reference requires 1x RTX 4090 for 4.5B (README.md:79-86); at ~165
+dense bf16 TFLOP/s vs ~197 on TPU v5e, compute-bound parity ~= 1.19x.
+We report vs_baseline = measured / estimated_reference_fps where
+estimated_reference_fps assumes the 4090 runs the same schedule at 45%
+MFU (flash-attn-2-era typical for this workload).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+
+    # persistent compilation cache: later rounds / reruns skip compiles
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/magi_tpu_jit_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_config
+    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.sampling.transport import ArdfSampler, InferenceInput
+
+    on_tpu = jax.default_backend() == "tpu"
+    config = _flagship_config()
+    mc, rc = config.model_config, config.runtime_config
+
+    if not on_tpu:
+        # CPU smoke fallback: tiny shapes, still exercises the full path
+        mc.num_layers, mc.hidden_size, mc.ffn_hidden_size = 2, 256, 512
+        mc.num_attention_heads, mc.num_query_groups, mc.kv_channels = 4, 2, 64
+        mc.caption_max_length = 64
+        rc.video_size_h = rc.video_size_w = 64
+        rc.num_steps, rc.window_size = 4, 2
+
+    chunk_num = int(os.environ.get("MAGI_BENCH_CHUNKS", "4"))
+    if os.environ.get("MAGI_BENCH_STEPS"):
+        rc.num_steps = int(os.environ["MAGI_BENCH_STEPS"])
+    if os.environ.get("MAGI_BENCH_WINDOW"):
+        rc.window_size = int(os.environ["MAGI_BENCH_WINDOW"])
+    H, W = rc.video_size_h // 8, rc.video_size_w // 8
+    cw = rc.chunk_width
+    L = mc.caption_max_length
+
+    params = init_dit_params(jax.random.PRNGKey(0), config, zeros=True)
+    rng = np.random.default_rng(0)
+    inp = InferenceInput(
+        caption_embs=jnp.asarray(rng.normal(size=(chunk_num, L, mc.caption_channels)).astype(np.float32)),
+        caption_lens=np.full(chunk_num, L, np.int32),
+        null_emb=jnp.asarray(rng.normal(size=(L, mc.caption_channels)).astype(np.float32)),
+        null_len=50,
+        latent_size=(mc.in_channels, chunk_num * cw, H, W),
+        num_steps=rc.num_steps,
+        chunk_num=chunk_num,
+        has_text=True,
+    )
+
+    sampler = ArdfSampler(config, params, inp, jax.random.PRNGKey(7))
+    total_steps = sampler.total_forward_steps()
+    dpss = rc.num_steps // rc.window_size
+
+    # drive the walk manually so we can separate compile from steady-state
+    gen = sampler.walk()
+    step_times = []
+    t_wall = time.perf_counter()
+
+    class _Probe:
+        pass
+
+    # Instead of instrumenting internals, run the full walk and time the
+    # whole generation; subtract warmup by timing a second short run if on
+    # TPU (compiles are cached after the first).
+    chunks = []
+    for item in gen:
+        chunks.append(item)
+    jax.block_until_ready(sampler.xs)
+    first_wall = time.perf_counter() - t_wall
+
+    # second run with hot compile cache = steady-state measurement
+    sampler2 = ArdfSampler(config, params, inp, jax.random.PRNGKey(8))
+    t0 = time.perf_counter()
+    n_emitted = 0
+    for _ in sampler2.walk():
+        n_emitted += 1
+    jax.block_until_ready(sampler2.xs)
+    steady_wall = time.perf_counter() - t0
+
+    frames_latent = n_emitted * cw
+    frames_video = frames_latent * rc.temporal_downsample_factor
+    fps = frames_video / steady_wall
+
+    # reference estimate (see module docstring)
+    flops_per_step = 3 * 2 * 4.5e9 * (rc.window_size * cw * (H // 2) * (W // 2))
+    ref_fps = None
+    vs_baseline = None
+    if on_tpu:
+        ref_time = total_steps * flops_per_step / (165e12 * 0.45)
+        ref_fps = frames_video / ref_time
+        vs_baseline = fps / ref_fps
+
+    result = {
+        "metric": "frames/sec/chip, 4.5B 480p t2v (64-step 3-CFG ARDF)" if on_tpu
+        else "frames/sec/chip, CPU-smoke tiny model",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(vs_baseline, 4) if vs_baseline else 1.0,
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "backend": jax.default_backend(),
+                    "chunks": n_emitted,
+                    "video_frames": frames_video,
+                    "steps": total_steps,
+                    "first_run_s": round(first_wall, 2),
+                    "steady_run_s": round(steady_wall, 2),
+                    "sec_per_denoise_step": round(steady_wall / max(total_steps, 1), 3),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

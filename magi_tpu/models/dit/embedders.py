@@ -76,35 +76,35 @@ def ada_modulate_forward(params, c: jnp.ndarray) -> jnp.ndarray:
     return _linear(params["proj"]["0"], jax.nn.silu(c))
 
 
-def init_embedder_params(key: jax.Array, cfg: ModelConfig) -> dict:
+def init_embedder_params(rng, cfg: ModelConfig, zeros: bool = False) -> dict:
     """Random init for the fp32-island embedders (SKIP_LOAD_MODEL analog,
-    ref: dit_model.py:602)."""
-    ks = jax.random.split(key, 8)
+    ref: dit_model.py:602).  `rng` is a numpy Generator (host RNG: eager
+    device-side RNG would trigger per-op compiles on remote backends)."""
+    import numpy as np
+
     ch = cfg.cond_hidden_size
     xh = cfg.xattn_cond_hidden_size
     cc = cfg.caption_channels
 
-    def lin(k, i, o, bias=True, dtype=jnp.float32):
-        p = {"weight": jax.random.normal(k, (i, o), dtype) * 0.02}
+    def w(shape):
+        if zeros:
+            return jnp.zeros(shape, jnp.float32)
+        return jnp.asarray(rng.normal(0, 0.02, shape).astype(np.float32))
+
+    def lin(i, o, bias=True):
+        p = {"weight": w((i, o))}
         if bias:
-            p["bias"] = jnp.zeros((o,), dtype)
+            p["bias"] = jnp.zeros((o,), jnp.float32)
         return p
 
     return {
-        "t_embedder": {"mlp": {"0": lin(ks[0], 256, ch), "2": lin(ks[1], ch, ch)}},
+        "t_embedder": {"mlp": {"0": lin(256, ch), "2": lin(ch, ch)}},
         "y_embedder": {
-            "y_proj_xattn": {"0": lin(ks[2], cc, xh)},
-            "y_proj_adaln": {"0": lin(ks[3], cc, ch)},
-            "null_caption_embedding": jax.random.normal(ks[4], (cfg.caption_max_length, cc), jnp.float32) * 0.02,
+            "y_proj_xattn": {"0": lin(cc, xh)},
+            "y_proj_adaln": {"0": lin(cc, ch)},
+            "null_caption_embedding": w((cfg.caption_max_length, cc)),
         },
         "final_linear": {
-            "linear": {
-                "weight": jax.random.normal(
-                    ks[5],
-                    (cfg.hidden_size, cfg.patch_size**2 * cfg.t_patch_size * cfg.out_channels),
-                    jnp.float32,
-                )
-                * 0.02
-            }
+            "linear": {"weight": w((cfg.hidden_size, cfg.patch_size**2 * cfg.t_patch_size * cfg.out_channels))}
         },
     }

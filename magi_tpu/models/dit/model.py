@@ -49,9 +49,34 @@ def _use_pallas() -> bool:
 
 
 def _attention(q, k, v, kv_start, kv_end, *, seg_len):
-    if _use_pallas():
-        return segmented_attention(q, k, v, kv_start, kv_end, seg_len=seg_len)
-    return segmented_attention_reference(q, k, v, kv_start, kv_end, seg_len=seg_len)
+    """Dispatch: Pallas kernel on TPU, dense jnp elsewhere; head-sharded
+    shard_map under a non-trivial mesh (Ulysses — the seq<->head reshard at
+    this boundary is the all_to_all of ref: context_parallel.py:381-423,
+    emitted by XLA from the sharding specs)."""
+    from jax.sharding import PartitionSpec as P
+
+    from magi_tpu.parallel import mesh as mesh_lib
+
+    impl = segmented_attention if _use_pallas() else segmented_attention_reference
+
+    mesh = mesh_lib.get_mesh()
+    n_shards = mesh_lib.head_shards(mesh)
+    if mesh_lib.mesh_is_trivial(mesh) or n_shards == 1:
+        return impl(q, k, v, kv_start, kv_end, seg_len=seg_len)
+
+    hq, hk = q.shape[1], k.shape[1]
+    assert hq % n_shards == 0 and hk % n_shards == 0, (
+        f"heads ({hq}q/{hk}kv) must divide cp*tp={n_shards}"
+    )
+    heads = (mesh_lib.AXIS_CP, mesh_lib.AXIS_TP)
+    spec = P(None, heads, None)
+    fn = jax.shard_map(
+        functools.partial(impl, seg_len=seg_len),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(), P()),
+        out_specs=spec,
+    )
+    return fn(q, k, v, kv_start, kv_end)
 
 
 def layer_norm(x, params, eps: float, zero_centered: bool = False, compute_dtype=None):
@@ -175,8 +200,11 @@ def layer_forward(
     high_precision: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One parallel-attention transformer layer (ref: dit_module.py:1252-1367)."""
+    from magi_tpu.parallel.mesh import AXIS_CP, constraint
+
     eps = cfg.layernorm_epsilon
     zc = cfg.apply_layernorm_1p
+    x = constraint(x, AXIS_CP, None)  # sequence-sharded between attentions
     residual = x
 
     core, xattn, new_cache_l = attention_forward(
@@ -208,6 +236,7 @@ def layer_forward(
         h = jax.nn.gelu(h, approximate=False)
     h = _dot(h, p["mlp"]["linear_fc2"]["weight"])
     x = _bias_modulate_add(h, residual, gate_mlp, p["mlp_post_norm"], eps, zc, meta.n_segments)
+    x = constraint(x, AXIS_CP, None)
     return x, new_cache_l
 
 
@@ -300,9 +329,10 @@ def dit_forward(
 # ---------------------------------------------------------------------------
 
 
-def init_dit_params(key: jax.Array, config: MagiConfig) -> dict:
+def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> dict:
     """Random-weight init — the SKIP_LOAD_MODEL analog (ref: dit_model.py:602).
-    Uses numpy RNG for speed; real weights come from checkpoint/loader.py."""
+    Uses numpy RNG for speed; real weights come from checkpoint/loader.py.
+    `zeros=True` gives an instant all-zeros tree for benchmarks/compile checks."""
     import numpy as np
 
     mc = config.model_config
@@ -318,12 +348,21 @@ def init_dit_params(key: jax.Array, config: MagiConfig) -> dict:
     ffn = mc.ffn_hidden_size
     fc1_out = 2 * ffn if mc.gated_linear_unit else ffn
 
-    seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
+    # derive a host seed without eager device compute (remote backends
+    # pay a compile per eager op)
+    seed = int(np.asarray(jax.random.key_data(key)).sum()) & 0x7FFFFFFF
     rng = np.random.default_rng(seed)
+
+    def _w(shape, std, dt):
+        if zeros:
+            # fast benchmarking/compile-check init: TPU matmul latency is
+            # data-independent, so zeros time identically to real weights
+            return jnp.zeros(shape, dt)
+        return jnp.asarray(rng.normal(0, std, shape).astype(np.float32), dt)
 
     def lin(i, o, dt=dtype, std=0.02, stacked=True, bias=False):
         shape = (L, i, o) if stacked else (i, o)
-        p = {"weight": jnp.asarray(rng.normal(0, std, shape).astype(np.float32), dt)}
+        p = {"weight": _w(shape, std, dt)}
         if bias:
             p["bias"] = jnp.zeros(shape[:-2] + (o,), dt)
         return p
@@ -365,12 +404,12 @@ def init_dit_params(key: jax.Array, config: MagiConfig) -> dict:
 
     in_feat = mc.in_channels * mc.t_patch_size * mc.patch_size**2
     params = {
-        "x_embedder": {"weight": jnp.asarray(rng.normal(0, 0.02, (in_feat, D)).astype(np.float32))},
+        "x_embedder": {"weight": _w((in_feat, D), 0.02, jnp.float32)},
         "rope": {"bands": default_bands(D // hq)},
         "blocks": blocks,
         "final_layernorm": norm(D, jnp.float32, stacked=False),
     }
-    params.update(init_embedder_params(jax.random.fold_in(key, 1), mc))
+    params.update(init_embedder_params(rng, mc, zeros=zeros))
     return params
 
 

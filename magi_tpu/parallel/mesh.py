@@ -1,0 +1,144 @@
+"""Device mesh + sharding rules — the TPU-native replacement for the
+reference's entire Megatron-style process-group fabric
+(ref: inference/infra/distributed/parallel_state.py, 672 LoC of NCCL group
+bookkeeping collapse into one `jax.sharding.Mesh`).
+
+Axes and their meaning:
+  dp : data/request parallelism (replicated weights)
+  pp : the reference's pipeline dim.  On TPU we realize it as layer-dim
+       weight sharding (FSDP-style over the scan-stacked layer axis): the
+       memory scaling PP exists for, without pipeline bubbles.
+  cp : context parallelism — the packed token axis is sequence-sharded
+       between attention calls; attention itself runs head-sharded.  The
+       seq<->head resharding IS Ulysses (ref: context_parallel.py:381-597);
+       XLA emits the all_to_all over ICI from the sharding constraints, so
+       the reference's hand-rolled overlap scheduler disappears into the
+       latency-hiding scheduler.
+  tp : tensor parallelism (Megatron-style column/row weight sharding).
+
+cp_shuffle_overlap (ref: context_parallel.py:257-305) exists only because
+non-Hopper GPUs lack range-based flash attention; our Pallas kernel has no
+such limitation, so `cp_strategy: cp_shuffle_overlap` maps onto the same
+Ulysses path (config-compatible, strategy-equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_MESH: Optional[Mesh] = None
+
+AXIS_DP = "dp"
+AXIS_PP = "pp"
+AXIS_CP = "cp"
+AXIS_TP = "tp"
+
+
+def build_mesh(dp: int = 1, pp: int = 1, cp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = dp * pp * cp * tp
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    arr = np.asarray(devices[:need]).reshape(dp, pp, cp, tp)
+    return Mesh(arr, (AXIS_DP, AXIS_PP, AXIS_CP, AXIS_TP))
+
+
+def initialize_mesh(config=None, *, dp=1, pp=1, cp=1, tp=1, devices=None) -> Mesh:
+    """Analog of dist_init + initialize_model_parallel
+    (ref: dist_utils.py:27-62)."""
+    global _MESH
+    if config is not None:
+        ec = config.engine_config
+        dp, pp, cp, tp = ec.dp_size, ec.pp_size, ec.cp_size, ec.tp_size
+    _MESH = build_mesh(dp=dp, pp=pp, cp=cp, tp=tp, devices=devices)
+    return _MESH
+
+
+def set_mesh(mesh: Optional[Mesh]) -> None:
+    global _MESH
+    _MESH = mesh
+
+
+def get_mesh() -> Optional[Mesh]:
+    return _MESH
+
+
+def destroy_mesh() -> None:
+    """(ref: destroy_model_parallel, parallel_state.py:637-672)."""
+    set_mesh(None)
+
+
+def mesh_is_trivial(mesh: Optional[Mesh]) -> bool:
+    return mesh is None or mesh.devices.size == 1
+
+
+def seq_shards(mesh: Optional[Mesh]) -> int:
+    return 1 if mesh is None else mesh.shape[AXIS_CP]
+
+
+def head_shards(mesh: Optional[Mesh]) -> int:
+    return 1 if mesh is None else mesh.shape[AXIS_CP] * mesh.shape[AXIS_TP]
+
+
+def constraint(x, *spec):
+    """with_sharding_constraint if a non-trivial mesh is active; no-op
+    otherwise (keeps the model code mesh-agnostic)."""
+    mesh = get_mesh()
+    if mesh_is_trivial(mesh):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+def dit_param_specs(params: dict) -> dict:
+    """PartitionSpec pytree for the DiT parameter tree: tp column/row
+    sharding on the big matmuls, pp(=layer-FSDP) on the stacked layer dim,
+    everything else replicated.  Replaces the reference's PP layer-slicing
+    checkpoint re-keying (ref: checkpointing.py:116-137)."""
+
+    def spec_for(path: str, leaf) -> P:
+        nd = getattr(leaf, "ndim", 0)
+        in_blocks = path.startswith("blocks/")
+        lead = (AXIS_PP,) if in_blocks else ()
+        mat_nd = nd - (1 if in_blocks else 0)
+        # column-parallel (shard output features)
+        col = ("linear_qkv/q/", "linear_qkv/qx/", "linear_qkv/k/", "linear_qkv/v/",
+               "linear_kv_xattn/", "mlp/linear_fc1/")
+        # row-parallel (shard input features)
+        row = ("linear_proj/", "mlp/linear_fc2/")
+        if mat_nd == 2 and any(c in path for c in col) and path.endswith("weight"):
+            return P(*lead, None, AXIS_TP)
+        if mat_nd == 2 and any(r in path for r in row) and path.endswith("weight"):
+            return P(*lead, AXIS_TP, None)
+        return P(*lead, *([None] * mat_nd))
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat:
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+        specs.append(spec_for(path_str, leaf))
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def shard_dit_params(params: dict, mesh: Optional[Mesh] = None) -> dict:
+    mesh = mesh or get_mesh()
+    if mesh_is_trivial(mesh):
+        return params
+    specs = dit_param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def kv_cache_spec() -> P:
+    """Cache [L, tok, hk, 2hd]: layer dim over pp, kv heads over cp×tp."""
+    return P(AXIS_PP, None, (AXIS_CP, AXIS_TP), None)
+
+
+def shard_kv_cache(cache, mesh: Optional[Mesh] = None):
+    mesh = mesh or get_mesh()
+    if mesh_is_trivial(mesh):
+        return cache
+    return jax.device_put(cache, NamedSharding(mesh, kv_cache_spec()))
