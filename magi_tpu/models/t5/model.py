@@ -1,0 +1,305 @@
+"""T5 v1.1 encoder in JAX + text-embedding front end
+(ref: inference/model/t5/t5_model.py).
+
+The reference wraps HF `T5EncoderModel` (torch).  Here the encoder itself
+is a jitted JAX function (MXU path) with a converter from the released
+torch weights; the tokenizer stays the HF sentencepiece tokenizer
+(host-side).  Caption cleaning mirrors the reference pipeline with
+graceful degradation when ftfy/bs4 are absent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import html
+import os
+import re
+import urllib.parse as ul
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 4096
+    d_kv: int = 64
+    num_heads: int = 64
+    d_ff: int = 10240
+    num_layers: int = 24
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    layer_norm_epsilon: float = 1e-6
+
+    @classmethod
+    def xxl(cls) -> "T5Config":
+        return cls()
+
+    @classmethod
+    def from_hf_config(cls, d: dict) -> "T5Config":
+        return cls(
+            vocab_size=d.get("vocab_size", 32128),
+            d_model=d["d_model"],
+            d_kv=d["d_kv"],
+            num_heads=d["num_heads"],
+            d_ff=d["d_ff"],
+            num_layers=d["num_layers"],
+            rel_buckets=d.get("relative_attention_num_buckets", 32),
+            rel_max_distance=d.get("relative_attention_max_distance", 128),
+            layer_norm_epsilon=d.get("layer_norm_epsilon", 1e-6),
+        )
+
+
+def _rms_norm(x, weight, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * lax.rsqrt(var + eps)).astype(x.dtype) * weight.astype(x.dtype)
+
+
+def relative_position_bucket(rel_pos: np.ndarray, num_buckets: int, max_distance: int) -> np.ndarray:
+    """Bidirectional T5 bucketing (matches HF `_relative_position_bucket`)."""
+    ret = np.zeros_like(rel_pos)
+    num_buckets //= 2
+    ret += (rel_pos > 0).astype(np.int64) * num_buckets
+    n = np.abs(rel_pos)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    large = max_exact + (
+        np.log(np.maximum(n, 1) / max_exact) / np.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, num_buckets - 1)
+    ret += np.where(is_small, n, large)
+    return ret
+
+
+def position_bias_table(seq_len: int, cfg: T5Config) -> np.ndarray:
+    """[seq, seq] bucket indices for the shared relative bias."""
+    ctx = np.arange(seq_len)[:, None]
+    mem = np.arange(seq_len)[None, :]
+    return relative_position_bucket(mem - ctx, cfg.rel_buckets, cfg.rel_max_distance)
+
+
+def t5_encoder_forward(params: dict, cfg: T5Config, input_ids: jnp.ndarray, attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] ids + mask -> [B, L, d_model] last hidden state."""
+    B, L = input_ids.shape
+    dtype = params["shared"]["weight"].dtype
+    h = params["shared"]["weight"][input_ids]
+
+    buckets = jnp.asarray(position_bias_table(L, cfg), jnp.int32)
+    # [buckets, heads] -> [1, heads, L, L]
+    bias = params["rel_bias"]["weight"][buckets]  # [L, L, heads]
+    bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+    neg = (1.0 - attn_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+    bias = bias + neg
+
+    def body(carry, blk):
+        x = carry
+        # self-attention (no 1/sqrt(d) scaling; folded into init as in T5)
+        hn = _rms_norm(x, blk["ln1"], cfg.layer_norm_epsilon)
+        q = (hn @ blk["q"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        k = (hn @ blk["k"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        v = (hn @ blk["v"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, -1)
+        x = x + attn @ blk["o"]
+        # gated-gelu FFN (v1.1)
+        hn = _rms_norm(x, blk["ln2"], cfg.layer_norm_epsilon)
+        g = jax.nn.gelu(hn @ blk["wi_0"], approximate=True)
+        x = x + (g * (hn @ blk["wi_1"])) @ blk["wo"]
+        return x, None
+
+    h, _ = lax.scan(body, h, params["blocks"])
+    h = _rms_norm(h, params["final_layer_norm"]["weight"], cfg.layer_norm_epsilon)
+    return h
+
+
+def init_t5_params(cfg: T5Config, seed: int = 0, dtype=jnp.float32) -> dict:
+    rng = np.random.default_rng(seed)
+    Lr = cfg.num_layers
+
+    def w(*shape, stacked=True):
+        s = (Lr,) + shape if stacked else shape
+        return jnp.asarray(rng.normal(0, 0.02, s).astype(np.float32), dtype)
+
+    inner = cfg.num_heads * cfg.d_kv
+    return {
+        "shared": {"weight": w(cfg.vocab_size, cfg.d_model, stacked=False)},
+        "rel_bias": {"weight": w(cfg.rel_buckets, cfg.num_heads, stacked=False)},
+        "blocks": {
+            "ln1": jnp.ones((Lr, cfg.d_model), dtype),
+            "q": w(cfg.d_model, inner),
+            "k": w(cfg.d_model, inner),
+            "v": w(cfg.d_model, inner),
+            "o": w(inner, cfg.d_model),
+            "ln2": jnp.ones((Lr, cfg.d_model), dtype),
+            "wi_0": w(cfg.d_model, cfg.d_ff),
+            "wi_1": w(cfg.d_model, cfg.d_ff),
+            "wo": w(cfg.d_ff, cfg.d_model),
+        },
+        "final_layer_norm": {"weight": jnp.ones((cfg.d_model,), dtype)},
+    }
+
+
+def convert_hf_t5_state(state: dict, cfg: T5Config, dtype=jnp.bfloat16) -> dict:
+    """torch T5EncoderModel state_dict -> our pytree (weights transposed to
+    [in, out])."""
+
+    def t(name):
+        arr = state[name]
+        if hasattr(arr, "numpy"):
+            arr = arr.float().numpy()
+        return np.asarray(arr, np.float32)
+
+    def stack(fmt, transpose=True):
+        mats = [t(fmt.format(i)) for i in range(cfg.num_layers)]
+        out = np.stack([m.T if transpose else m for m in mats])
+        return jnp.asarray(out, dtype)
+
+    pre = "encoder."
+    return {
+        "shared": {"weight": jnp.asarray(t("shared.weight"), dtype)},
+        "rel_bias": {
+            "weight": jnp.asarray(
+                t(pre + "block.0.layer.0.SelfAttention.relative_attention_bias.weight"), dtype
+            )
+        },
+        "blocks": {
+            "ln1": stack(pre + "block.{}.layer.0.layer_norm.weight", transpose=False),
+            "q": stack(pre + "block.{}.layer.0.SelfAttention.q.weight"),
+            "k": stack(pre + "block.{}.layer.0.SelfAttention.k.weight"),
+            "v": stack(pre + "block.{}.layer.0.SelfAttention.v.weight"),
+            "o": stack(pre + "block.{}.layer.0.SelfAttention.o.weight"),
+            "ln2": stack(pre + "block.{}.layer.1.layer_norm.weight", transpose=False),
+            "wi_0": stack(pre + "block.{}.layer.1.DenseReluDense.wi_0.weight"),
+            "wi_1": stack(pre + "block.{}.layer.1.DenseReluDense.wi_1.weight"),
+            "wo": stack(pre + "block.{}.layer.1.DenseReluDense.wo.weight"),
+        },
+        "final_layer_norm": {"weight": jnp.asarray(t(pre + "final_layer_norm.weight"), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# caption cleaning (ref: t5_model.py:152-278)
+# ---------------------------------------------------------------------------
+
+_BAD_PUNCT = re.compile(r"[#®•©™&@·º½¾¿¡§~\)\(\]\[\}\{\|\\/\*]{1,}")
+
+
+def basic_clean(text: str) -> str:
+    try:
+        import ftfy
+
+        text = ftfy.fix_text(text)
+    except ImportError:
+        pass
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def clean_caption(caption: str) -> str:
+    """Functional mirror of the reference cleaning pipeline
+    (ref: t5_model.py:167-278): lowercase, strip urls/html/handles/bad
+    punctuation/extra whitespace."""
+    caption = str(caption).strip().lower()
+    caption = re.sub("<person>", "person", caption)
+    caption = re.sub(r"\b((?:https?:(?:\/{1,3}|[a-zA-Z0-9%])|[a-zA-Z0-9.\-]+[.](?:com|co|ru|net|org|edu|gov|it)[\w/-]*\b\/?(?!@)))", "", caption)
+    try:
+        from bs4 import BeautifulSoup
+
+        caption = BeautifulSoup(caption, features="html.parser").text
+    except ImportError:
+        caption = re.sub(r"<[^>]+>", "", caption)
+    caption = re.sub(r"@[\w\d]+\b", "", caption)
+    caption = basic_clean(caption)
+    caption = re.sub(r"&quot;?", "", caption)
+    caption = re.sub(r"&amp", "", caption)
+    caption = re.sub(r"\d{5,}\b", "", caption)  # long digit runs
+    caption = _BAD_PUNCT.sub(r" ", caption)
+    caption = re.sub(r"\s+\.\s+", r" ", caption)
+    caption = re.sub(r"(?:\-|\–|\—|\~){1,}", " ", caption)
+    caption = re.sub(r"(?:\.{2,}|\!{2,}|\?{2,})", lambda m: m.group(0)[0], caption)
+    caption = re.sub(r"\s+", " ", caption)
+    caption = caption.strip()
+    return caption
+
+
+def text_preprocessing(text: str, enabled: bool = True) -> str:
+    if enabled:
+        return clean_caption(clean_caption(text))
+    return text.lower().strip()
+
+
+class T5Embedder:
+    """(ref: T5Embedder, t5_model.py:27-150).  Loads tokenizer + weights
+    from a local directory (the reference's `t5_pretrained` layout)."""
+
+    available_models = ["t5-v1_1-xxl"]
+
+    def __init__(
+        self,
+        cache_dir: str,
+        model_max_length: int = 120,
+        dtype=jnp.bfloat16,
+        use_text_preprocessing: bool = True,
+    ):
+        import json
+
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(cache_dir)
+        self.model_max_length = model_max_length
+        self.use_text_preprocessing = use_text_preprocessing
+
+        with open(os.path.join(cache_dir, "config.json")) as f:
+            self.config = T5Config.from_hf_config(json.load(f))
+        self.params = self._load_params(cache_dir, dtype)
+        self._forward = jax.jit(
+            lambda p, ids, mask: t5_encoder_forward(p, self.config, ids, mask)
+        )
+
+    def _load_params(self, path: str, dtype):
+        state = {}
+        import glob
+
+        st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+        if st_files:
+            from safetensors import safe_open
+
+            for f in st_files:
+                with safe_open(f, framework="np") as sf:
+                    for k in sf.keys():
+                        state[k] = sf.get_tensor(k)
+        else:
+            import torch
+
+            bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+            assert bins, f"no T5 weights found under {path}"
+            for b in bins:
+                state.update(torch.load(b, map_location="cpu", weights_only=True))
+        # encoder-only checkpoints may or may not carry the "encoder." prefix
+        if not any(k.startswith("encoder.") for k in state):
+            state = {("encoder." + k if not k.startswith("shared") else k): v for k, v in state.items()}
+        return convert_hf_t5_state(state, self.config, dtype)
+
+    def get_text_embeddings(self, texts) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(ref: t5_model.py:129-150).  Returns (embs [B,L,D], mask [B,L])."""
+        texts = [text_preprocessing(t, self.use_text_preprocessing) for t in texts]
+        tok = self.tokenizer(
+            texts,
+            max_length=self.model_max_length,
+            padding="max_length",
+            truncation=True,
+            return_attention_mask=True,
+            add_special_tokens=True,
+            return_tensors="np",
+        )
+        ids = jnp.asarray(tok["input_ids"], jnp.int32)
+        mask = jnp.asarray(tok["attention_mask"], jnp.int32)
+        embs = self._forward(self.params, ids, mask)
+        return embs, mask
