@@ -1,0 +1,194 @@
+"""DiT checkpoint loading: sharded safetensors (+zstd) -> our parameter
+pytree (ref: inference/infra/checkpoint/checkpointing.py).
+
+Differences from the reference:
+  * PP layer-slicing / re-keying (ref: :116-137) is unnecessary — layers
+    are stacked and sharded onto the mesh by `dit_param_specs`.
+  * zstd decompression uses python-zstandard in-process instead of an
+    external `zstd` subprocess (ref: :40-51).
+  * fp8 variants are dequantized to bf16 at load (native fp8 matmul path
+    is engine-gated; weights are exact under dequant).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from magi_tpu.core.config import MagiConfig
+from magi_tpu.core.logger import magi_logger, print_rank_0
+
+
+def _read_shard(path: str) -> Dict[str, np.ndarray]:
+    """Load one safetensors shard, transparently handling `.zst`
+    (ref: _load_shard, checkpointing.py:35-65)."""
+    from safetensors.numpy import load as st_load
+
+    if path.endswith(".zst"):
+        import zstandard
+
+        with open(path, "rb") as f:
+            data = zstandard.ZstdDecompressor().decompress(f.read())
+        return st_load(data)
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def load_state_dict(load_dir: str, fp8_quant: bool = False, distill: bool = False) -> Dict[str, np.ndarray]:
+    """Resolve the weight variant subdir and load all shards in parallel
+    (ref: load_state_dict + parallel loader, checkpointing.py:68-155)."""
+    subdir = "inference_weight"
+    if fp8_quant:
+        subdir += ".fp8"
+    if distill:
+        subdir += ".distill"
+    weight_dir = os.path.join(load_dir, subdir)
+    assert os.path.isdir(weight_dir), f"weight dir not found: {weight_dir}"
+
+    index_path = os.path.join(weight_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        shard_files = sorted(set(index["weight_map"].values()))
+    else:
+        shard_files = sorted(
+            f for f in os.listdir(weight_dir) if f.endswith(".safetensors") or f.endswith(".safetensors.zst")
+        )
+    assert shard_files, f"no safetensors shards under {weight_dir}"
+
+    state: Dict[str, np.ndarray] = {}
+    with ThreadPoolExecutor(max_workers=min(8, len(shard_files))) as ex:
+        for shard in ex.map(lambda s: _read_shard(os.path.join(weight_dir, s)), shard_files):
+            state.update(shard)
+    print_rank_0(f"loaded {len(state)} tensors from {weight_dir}")
+    return state
+
+
+def _dequant_fp8(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold per-tensor/channel fp8 scales back into bf16 weights
+    (ref: PerTensor/PerChannelQuantizedFp8Linear, dit_module.py:431-487)."""
+    out = dict(state)
+    for k in list(state.keys()):
+        if k.endswith(".weight_scale"):
+            base = k[: -len(".weight_scale")]
+            w = state.get(base + ".weight")
+            if w is None:
+                continue
+            wf = w.astype(np.float32).reshape(w.shape[-2:]) if w.ndim == 3 else w.astype(np.float32)
+            out[base + ".weight"] = (wf * state[k].astype(np.float32)).astype(np.float32)
+            out.pop(k, None)
+    return out
+
+
+def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
+    """torch key names -> our pytree.  Linear weights transpose to [in,out];
+    Conv3d patch embed flattens to a matmul; per-layer tensors stack on a
+    leading layer axis for `lax.scan`."""
+    mc = config.model_config
+    L = mc.num_layers
+    dtype = mc.params_dtype
+
+    def g(name: str) -> np.ndarray:
+        return np.asarray(state[name], np.float32)
+
+    def lin_T(name: str, dt) -> jnp.ndarray:
+        return jnp.asarray(g(name).T, dt)
+
+    def stacked(fmt: str, transpose: bool, dt) -> jnp.ndarray:
+        mats = [np.asarray(state[fmt.format(i)], np.float32) for i in range(L)]
+        arr = np.stack([m.T if transpose else m for m in mats])
+        return jnp.asarray(arr, dt)
+
+    def stacked_norm(fmt: str, dt=jnp.float32) -> dict:
+        return {
+            "weight": stacked(fmt + ".weight", False, dt),
+            "bias": stacked(fmt + ".bias", False, dt),
+        }
+
+    blk = "videodit_blocks.layers.{}."
+    att = blk + "self_attention."
+    blocks = {
+        "ada_modulate_layer": {
+            "proj": {
+                "0": {
+                    "weight": stacked(blk + "ada_modulate_layer.proj.0.weight", True, dtype),
+                    "bias": stacked(blk + "ada_modulate_layer.proj.0.bias", False, dtype),
+                }
+            }
+        },
+        "self_attention": {
+            "linear_qkv": {
+                "layer_norm": stacked_norm(att + "linear_qkv.layer_norm", dtype),
+                "q": {"weight": stacked(att + "linear_qkv.q.weight", True, dtype)},
+                "qx": {"weight": stacked(att + "linear_qkv.qx.weight", True, dtype)},
+                "k": {"weight": stacked(att + "linear_qkv.k.weight", True, dtype)},
+                "v": {"weight": stacked(att + "linear_qkv.v.weight", True, dtype)},
+            },
+            # fp32 islands (ref: _high_precision_promoter, dit_model.py:621-638)
+            "q_layernorm": stacked_norm(att + "q_layernorm"),
+            "k_layernorm": stacked_norm(att + "k_layernorm"),
+            "q_layernorm_xattn": stacked_norm(att + "q_layernorm_xattn", dtype),
+            "k_layernorm_xattn": stacked_norm(att + "k_layernorm_xattn", dtype),
+            "linear_kv_xattn": {"weight": stacked(att + "linear_kv_xattn.weight", True, dtype)},
+            "linear_proj": {"weight": stacked(att + "linear_proj.weight", True, dtype)},
+        },
+        "self_attn_post_norm": stacked_norm(blk + "self_attn_post_norm"),
+        "mlp": {
+            "layer_norm": stacked_norm(blk + "mlp.layer_norm", dtype),
+            "linear_fc1": {"weight": stacked(blk + "mlp.linear_fc1.weight", True, dtype)},
+            "linear_fc2": {"weight": stacked(blk + "mlp.linear_fc2.weight", True, dtype)},
+        },
+        "mlp_post_norm": stacked_norm(blk + "mlp_post_norm"),
+    }
+
+    xw = g("x_embedder.weight")  # [D, C, tp, p, p]
+    params = {
+        "x_embedder": {"weight": jnp.asarray(xw.reshape(xw.shape[0], -1).T, jnp.float32)},
+        "rope": {"bands": jnp.asarray(g("rope.bands"), jnp.float32)},
+        "t_embedder": {
+            "mlp": {
+                "0": {"weight": lin_T("t_embedder.mlp.0.weight", jnp.float32),
+                      "bias": jnp.asarray(g("t_embedder.mlp.0.bias"), jnp.float32)},
+                "2": {"weight": lin_T("t_embedder.mlp.2.weight", jnp.float32),
+                      "bias": jnp.asarray(g("t_embedder.mlp.2.bias"), jnp.float32)},
+            }
+        },
+        "y_embedder": {
+            "y_proj_xattn": {"0": {"weight": lin_T("y_embedder.y_proj_xattn.0.weight", jnp.float32),
+                                    "bias": jnp.asarray(g("y_embedder.y_proj_xattn.0.bias"), jnp.float32)}},
+            "y_proj_adaln": {"0": {"weight": lin_T("y_embedder.y_proj_adaln.0.weight", jnp.float32),
+                                    "bias": jnp.asarray(g("y_embedder.y_proj_adaln.0.bias"), jnp.float32)}},
+            "null_caption_embedding": jnp.asarray(g("y_embedder.null_caption_embedding"), jnp.float32),
+        },
+        "blocks": blocks,
+        "final_layernorm": {
+            "weight": jnp.asarray(g("videodit_blocks.final_layernorm.weight"), jnp.float32),
+            "bias": jnp.asarray(g("videodit_blocks.final_layernorm.bias"), jnp.float32),
+        },
+        "final_linear": {"linear": {"weight": lin_T("final_linear.linear.weight", jnp.float32)}},
+    }
+    return params
+
+
+def load_dit_params(config: MagiConfig, mesh=None) -> dict:
+    """config.runtime_config.load -> sharded parameter pytree
+    (ref: load_checkpoint, checkpointing.py:158-180)."""
+    ec = config.engine_config
+    state = load_state_dict(config.runtime_config.load, ec.fp8_quant, ec.distill)
+    if ec.fp8_quant:
+        state = _dequant_fp8(state)
+    params = convert_dit_state(state, config)
+    from magi_tpu.parallel.mesh import shard_dit_params
+
+    return shard_dit_params(params, mesh)

@@ -1,0 +1,86 @@
+"""User-facing pipeline (ref: inference/pipeline/pipeline.py + entry.py).
+
+Same public surface: MagiPipeline.run_{text,image,video}_to_video(config).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from magi_tpu.core.config import MagiConfig
+from magi_tpu.core.logger import print_rank_0
+from magi_tpu.core.timer import event_path_timer
+from magi_tpu.core.utils import env_is_true, set_random_seed
+from magi_tpu.parallel.mesh import initialize_mesh
+from magi_tpu.pipeline.prompt_process import build_inference_input, get_txt_embeddings
+from magi_tpu.pipeline.video_process import post_chunk_process, process_image, process_prefix_video, save_video_to_disk
+from magi_tpu.sampling.transport import ArdfSampler
+
+
+def get_dit(config: MagiConfig):
+    """Build + load the DiT parameters (ref: get_dit, dit_model.py:641-673).
+    SKIP_LOAD_MODEL=1 gives random weights (ref: dit_model.py:602)."""
+    from magi_tpu.models.dit.model import init_dit_params
+
+    if env_is_true("SKIP_LOAD_MODEL"):
+        print_rank_0("SKIP_LOAD_MODEL set: using random weights")
+        return init_dit_params(jax.random.PRNGKey(config.runtime_config.seed), config)
+    from magi_tpu.checkpoint.loader import load_dit_params
+
+    params = load_dit_params(config)
+    print_rank_0("Load checkpoint successfully")
+    return params
+
+
+class MagiPipeline:
+    def __init__(self, config_path: str):
+        self.config = MagiConfig.from_json(config_path)
+        self.key = set_random_seed(self.config.runtime_config.seed)
+        ec = self.config.engine_config
+        if ec.world_size > 1:
+            initialize_mesh(self.config)
+        # persistent jit cache (CUDA-graph analog: compile once, reuse forever)
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/magi_tpu_jit_cache")
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+        print_rank_0(self.config)
+
+    def run_text_to_video(self, prompt: str, output_path: str) -> None:
+        self._run(prompt, None, output_path)
+
+    def run_image_to_video(self, prompt: str, image_path: str, output_path: str) -> None:
+        prefix_video = process_image(image_path, self.config)
+        self._run(prompt, prefix_video, output_path)
+
+    def run_video_to_video(self, prompt: str, prefix_video_path: str, output_path: str) -> None:
+        prefix_video = process_prefix_video(prefix_video_path, self.config)
+        self._run(prompt, prefix_video, output_path)
+
+    def _run(self, prompt: str, prefix_video, output_path: str) -> None:
+        t0 = time.perf_counter()
+        caption_embs, emb_masks = get_txt_embeddings(prompt, self.config)
+        params = get_dit(self.config)
+
+        null_caption = np.asarray(params["y_embedder"]["null_caption_embedding"], np.float32)
+        inp = build_inference_input(self.config, null_caption, caption_embs, emb_masks, prefix_video)
+
+        sampler = ArdfSampler(self.config, params, inp, self.key)
+        event_path_timer().synced_record("begin_walk")
+        segments = []
+        for chunk_idx, chunk in sampler.walk():
+            # VAE-decode each chunk as it becomes clean (streams with the walk)
+            segments.append(post_chunk_process(chunk, self.config))
+        video = np.concatenate(segments, axis=0)
+        save_video_to_disk(video, output_path, fps=self.config.runtime_config.fps)
+        print_rank_0(
+            f"Finish MagiPipeline: {video.shape[0]} frames -> {output_path} "
+            f"in {time.perf_counter() - t0:.1f}s"
+        )

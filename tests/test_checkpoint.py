@@ -1,0 +1,176 @@
+"""Checkpoint loading: synthesize a reference-format sharded safetensors
+checkpoint (torch key names/shapes, one shard zstd-compressed), load it,
+verify the mapping, and run a forward."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magi_tpu.checkpoint.loader import convert_dit_state, load_dit_params, load_state_dict
+from tests.tiny import tiny_config
+
+
+def make_reference_state(cfg, rng):
+    mc = cfg.model_config
+    D = mc.hidden_size
+    hd = mc.kv_channels
+    hq = mc.num_attention_heads
+    hk = mc.num_query_groups
+    ch = mc.cond_hidden_size
+    xh = mc.xattn_cond_hidden_size
+    gh = mc.gate_hidden_size
+    ffn = mc.ffn_hidden_size
+    fc1 = 2 * ffn if mc.gated_linear_unit else ffn
+    cc = mc.caption_channels
+    Lc = mc.caption_max_length
+
+    def w(*shape):
+        return rng.normal(0, 0.02, shape).astype(np.float32)
+
+    state = {
+        "x_embedder.weight": w(D, mc.in_channels, mc.t_patch_size, mc.patch_size, mc.patch_size),
+        "t_embedder.mlp.0.weight": w(ch, 256),
+        "t_embedder.mlp.0.bias": w(ch),
+        "t_embedder.mlp.2.weight": w(ch, ch),
+        "t_embedder.mlp.2.bias": w(ch),
+        "y_embedder.y_proj_xattn.0.weight": w(xh, cc),
+        "y_embedder.y_proj_xattn.0.bias": w(xh),
+        "y_embedder.y_proj_adaln.0.weight": w(ch, cc),
+        "y_embedder.y_proj_adaln.0.bias": w(ch),
+        "y_embedder.null_caption_embedding": w(Lc, cc),
+        "rope.bands": w(hd // 8),
+        "videodit_blocks.final_layernorm.weight": w(D),
+        "videodit_blocks.final_layernorm.bias": w(D),
+        "final_linear.linear.weight": w(mc.patch_size**2 * mc.t_patch_size * mc.out_channels, D),
+    }
+    for i in range(mc.num_layers):
+        b = f"videodit_blocks.layers.{i}."
+        a = b + "self_attention."
+        state.update({
+            b + "ada_modulate_layer.proj.0.weight": w(2 * gh, ch),
+            b + "ada_modulate_layer.proj.0.bias": w(2 * gh),
+            a + "linear_qkv.layer_norm.weight": w(D),
+            a + "linear_qkv.layer_norm.bias": w(D),
+            a + "linear_qkv.q.weight": w(hq * hd, D),
+            a + "linear_qkv.qx.weight": w(hq * hd, D),
+            a + "linear_qkv.k.weight": w(hk * hd, D),
+            a + "linear_qkv.v.weight": w(hk * hd, D),
+            a + "q_layernorm.weight": w(hd),
+            a + "q_layernorm.bias": w(hd),
+            a + "k_layernorm.weight": w(hd),
+            a + "k_layernorm.bias": w(hd),
+            a + "q_layernorm_xattn.weight": w(hd),
+            a + "q_layernorm_xattn.bias": w(hd),
+            a + "k_layernorm_xattn.weight": w(hd),
+            a + "k_layernorm_xattn.bias": w(hd),
+            a + "linear_kv_xattn.weight": w(2 * hk * hd, xh),
+            a + "linear_proj.weight": w(D, 2 * hq * hd),
+            b + "self_attn_post_norm.weight": w(D),
+            b + "self_attn_post_norm.bias": w(D),
+            b + "mlp.layer_norm.weight": w(D),
+            b + "mlp.layer_norm.bias": w(D),
+            b + "mlp.linear_fc1.weight": w(fc1, D),
+            b + "mlp.linear_fc2.weight": w(D, ffn),
+            b + "mlp_post_norm.weight": w(D),
+            b + "mlp_post_norm.bias": w(D),
+        })
+    return state
+
+
+def write_checkpoint(tmp_path, state, zst_second_shard=True):
+    import zstandard
+    from safetensors.numpy import save, save_file
+
+    wdir = tmp_path / "inference_weight"
+    wdir.mkdir(parents=True)
+    keys = sorted(state.keys())
+    half = len(keys) // 2
+    shard1 = {k: state[k] for k in keys[:half]}
+    shard2 = {k: state[k] for k in keys[half:]}
+    save_file(shard1, str(wdir / "model-00001.safetensors"))
+    name2 = "model-00002.safetensors"
+    if zst_second_shard:
+        blob = save(shard2)
+        name2 += ".zst"
+        (wdir / name2).write_bytes(zstandard.ZstdCompressor().compress(blob))
+    else:
+        save_file(shard2, str(wdir / name2))
+    weight_map = {k: "model-00001.safetensors" for k in keys[:half]}
+    weight_map.update({k: name2 for k in keys[half:]})
+    (wdir / "model.safetensors.index.json").write_text(json.dumps({"weight_map": weight_map}))
+    return tmp_path
+
+
+def test_load_convert_and_forward(tmp_path):
+    import jax
+
+    from magi_tpu.core.dataclasses import ForwardMeta, SegmentAttnSpec
+    from magi_tpu.models.dit.model import dit_forward, init_kv_cache
+
+    cfg = tiny_config()
+    cfg.runtime_config.load = str(tmp_path)
+    rng = np.random.default_rng(0)
+    state = make_reference_state(cfg, rng)
+    write_checkpoint(tmp_path, state)
+
+    loaded = load_state_dict(str(tmp_path))
+    assert len(loaded) == len(state)
+    params = convert_dit_state(loaded, cfg)
+
+    # mapping invariants: linears transposed, norms direct, conv flattened
+    np.testing.assert_array_equal(
+        np.asarray(params["final_linear"]["linear"]["weight"]),
+        state["final_linear.linear.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["blocks"]["self_attention"]["linear_qkv"]["q"]["weight"][1]),
+        state["videodit_blocks.layers.1.self_attention.linear_qkv.q.weight"].T,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["blocks"]["q_layernorm"]["weight"][0])
+        if "q_layernorm" in params["blocks"]
+        else np.asarray(params["blocks"]["self_attention"]["q_layernorm"]["weight"][0]),
+        state["videodit_blocks.layers.0.self_attention.q_layernorm.weight"],
+    )
+    xw = state["x_embedder.weight"]
+    np.testing.assert_array_equal(
+        np.asarray(params["x_embedder"]["weight"]), xw.reshape(xw.shape[0], -1).T
+    )
+
+    # forward runs and is finite
+    mc = cfg.model_config
+    H = W = 8
+    cw = cfg.runtime_config.chunk_width
+    HP = WP = H // mc.patch_size
+    ctn = cw * HP * WP
+    x = jnp.asarray(rng.normal(size=(mc.in_channels, cw, H, W)), jnp.float32)
+    t = jnp.asarray([0.5])
+    y = jnp.asarray(rng.normal(size=(1, mc.caption_max_length, mc.caption_channels)), jnp.float32)
+    meta = ForwardMeta(
+        n_segments=1, seg_len=ctn, H=HP, W=WP, T_total=cw,
+        update_kv_cache=False, use_kv_cache=True,
+        distill_nearly_clean_chunk=False, fwd_extra_1st_chunk=False,
+        slice_point=jnp.int32(0),
+        self_attn=SegmentAttnSpec(kv_start=jnp.zeros(1, jnp.int32), kv_end=jnp.asarray([ctn], jnp.int32)),
+        y_lens=jnp.asarray([mc.caption_max_length], jnp.int32),
+    )
+    out, _ = dit_forward(
+        params, cfg, x, t, y, jnp.asarray(False), init_kv_cache(cfg, 4 * ctn), meta,
+        jnp.zeros(1, jnp.int32),
+    )
+    assert out.shape == (mc.out_channels, cw, H, W)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_missing_weight_dir_raises(tmp_path):
+    with pytest.raises(AssertionError, match="weight dir not found"):
+        load_state_dict(str(tmp_path))
+
+
+def test_variant_subdir_resolution(tmp_path):
+    (tmp_path / "inference_weight.fp8.distill").mkdir(parents=True)
+    with pytest.raises(AssertionError, match="no safetensors shards"):
+        load_state_dict(str(tmp_path), fp8_quant=True, distill=True)

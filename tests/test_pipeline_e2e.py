@@ -1,0 +1,94 @@
+"""End-to-end pipeline test: tiny random DiT + tiny random VAE, mocked T5,
+t2v and i2v straight through MagiPipeline to an encoded video file
+(the SKIP_LOAD_MODEL smoke flow, SURVEY.md §4)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magi_tpu.models.vae.model import VaeConfig, ViTVAE, init_vae_params
+from tests.test_config import BASE_4_5B
+
+
+def tiny_config_json(tmp_path):
+    cfg = json.loads(json.dumps(BASE_4_5B))
+    cfg["model_config"].update(
+        num_layers=2, hidden_size=64, ffn_hidden_size=128, num_attention_heads=4,
+        num_query_groups=2, kv_channels=16, params_dtype="float32",
+        in_channels=4, out_channels=4, caption_channels=32, caption_max_length=32,
+    )
+    cfg["runtime_config"].update(
+        num_frames=16, video_size_h=64, video_size_w=64, num_steps=4, window_size=2,
+        chunk_width=2, noise2clean_kvrange=[], clean_chunk_kvrange=-1,
+        vae_pretrained="<mocked>", t5_pretrained="<mocked>",
+    )
+    p = tmp_path / "tiny.json"
+    p.write_text(json.dumps(cfg))
+    return str(p)
+
+
+@pytest.fixture()
+def pipeline_env(tmp_path, monkeypatch):
+    from magi_tpu.pipeline import prompt_process, video_process
+
+    monkeypatch.setenv("SKIP_LOAD_MODEL", "1")
+
+    rng = np.random.default_rng(0)
+
+    def fake_txt(prompt, config):
+        L = config.model_config.caption_max_length
+        C = config.model_config.caption_channels
+        embs = rng.normal(size=(1, L, C)).astype(np.float32)
+        mask = np.zeros((1, L), np.int32)
+        mask[:, : L // 2] = 1
+        return embs, mask
+
+    vae_cfg = VaeConfig(
+        video_size=64, video_length=8, patch_size=8, patch_length=4,
+        in_chans=3, z_chans=4, embed_dim=64, depth=1, num_heads=4,
+        qkv_bias=True, use_final_proj=True,
+    )
+    vae = ViTVAE(vae_cfg, init_vae_params(vae_cfg, seed=1))
+
+    monkeypatch.setattr(prompt_process, "get_txt_embeddings", fake_txt)
+    monkeypatch.setattr(video_process, "get_vae", lambda ckpt: vae)
+    # pipeline.py imported the symbol directly
+    import magi_tpu.pipeline.pipeline as pl
+
+    monkeypatch.setattr(pl, "get_txt_embeddings", fake_txt)
+    return tmp_path
+
+
+def _check_video(path):
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        return n
+    npz = np.load(path + ".npz")
+    return npz["video"].shape[0]
+
+
+def test_t2v_end_to_end(pipeline_env, tmp_path):
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+
+    out = str(tmp_path / "out_t2v.mp4")
+    MagiPipeline(tiny_config_json(tmp_path)).run_text_to_video("a cat", out)
+    assert _check_video(out) == 16  # num_frames
+
+
+def test_i2v_end_to_end(pipeline_env, tmp_path):
+    from PIL import Image
+
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+
+    img_path = str(tmp_path / "first.png")
+    Image.fromarray(np.random.default_rng(2).integers(0, 255, (48, 80, 3), np.uint8).astype(np.uint8)).save(img_path)
+    out = str(tmp_path / "out_i2v.mp4")
+    MagiPipeline(tiny_config_json(tmp_path)).run_image_to_video("a dog", img_path, out)
+    assert _check_video(out) >= 16
