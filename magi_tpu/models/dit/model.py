@@ -41,7 +41,7 @@ from magi_tpu.models.dit.embedders import (
     y_embedder_forward,
 )
 from magi_tpu.models.dit.rope import apply_rotary, default_bands, rope_3d_segments
-from magi_tpu.ops.attention import segmented_attention, segmented_attention_reference
+from magi_tpu.ops.attention import segmented_attention_reference, segmented_attention_v2
 
 
 def _use_pallas() -> bool:
@@ -57,7 +57,10 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
 
     from magi_tpu.parallel import mesh as mesh_lib
 
-    impl = segmented_attention if _use_pallas() else segmented_attention_reference
+    if _use_pallas():
+        impl = functools.partial(segmented_attention_v2, block_q=512, block_k=1024)
+    else:
+        impl = segmented_attention_reference
 
     mesh = mesh_lib.get_mesh()
     n_shards = mesh_lib.head_shards(mesh)

@@ -25,13 +25,13 @@ import numpy as np
 from jax import lax
 
 from magi_tpu.models.dit.model import _use_pallas, layer_norm
-from magi_tpu.ops.attention import segmented_attention, segmented_attention_reference
+from magi_tpu.ops.attention import segmented_attention_reference, segmented_attention_v2
 
 
 def _attention(q, k, v, starts, ends, *, seg_len):
     """VAE attention stays mesh-agnostic (tile-level parallelism distributes
     the VAE; see parallel/tile.py)."""
-    impl = segmented_attention if _use_pallas() else segmented_attention_reference
+    impl = segmented_attention_v2 if _use_pallas() else segmented_attention_reference
     return impl(q, k, v, starts, ends, seg_len=seg_len)
 
 

@@ -230,6 +230,183 @@ def segmented_attention(
     return out.reshape(total_q, hq, hd)
 
 
+def _seg_attn_kernel_v2(
+    # scalar prefetch
+    kv_start_ref,
+    kv_end_ref,
+    # inputs
+    q_ref,  # [1, 1, block_q, hd] VMEM
+    k_hbm,  # [hk, kv_pad, hd] ANY/HBM
+    v_hbm,  # [hk, kv_pad, hd] ANY/HBM
+    # outputs
+    o_ref,  # [1, 1, block_q, hd]
+    # scratch
+    k_buf,  # [2, block_k, hd] VMEM
+    v_buf,  # [2, block_k, hd] VMEM
+    sems,  # DMA semaphores [2, 2]
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    block_k: int,
+    q_per_kv: int,
+):
+    """Inner-loop variant: kv tiles are streamed with double-buffered DMA
+    over exactly [lo, hi) — no grid steps are spent on out-of-range tiles
+    (the canonical-grid version revisits them, ~2x overhead for MAGI's
+    block-causal range patterns)."""
+    seg = pl.program_id(0)
+    head = pl.program_id(1)
+    kv_head = head // q_per_kv
+
+    start = kv_start_ref[seg]
+    end = kv_end_ref[seg]
+    lo = start // block_k
+    hi = lax.div(end + block_k - 1, block_k)
+
+    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def dma(slot, tile):
+        off = pl.multiple_of(tile * block_k, block_k)
+        return (
+            pltpu.make_async_copy(k_hbm.at[kv_head, pl.ds(off, block_k), :], k_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[kv_head, pl.ds(off, block_k), :], v_buf.at[slot], sems.at[slot, 1]),
+        )
+
+    @pl.when(lo < hi)
+    def _():
+        for c in dma(0, lo):
+            c.start()
+
+        def body(i, _):
+            slot = lax.rem(i - lo, 2)
+            nxt = lax.rem(i - lo + 1, 2)
+
+            @pl.when(i + 1 < hi)
+            def _():
+                for c in dma(nxt, i + 1):
+                    c.start()
+
+            for c in dma(slot, i):
+                c.wait()
+
+            block_q, head_dim = acc_scr.shape
+            q = q_ref[0, 0]
+            k = k_buf[slot]
+            s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s *= sm_scale
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+            valid = jnp.logical_and(col >= start, col < end)
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            repeats = block_k // NUM_LANES
+            p = jnp.exp(s - jnp.tile(m_next, (1, repeats)))
+            alpha = jnp.exp(m_prev - m_next)
+            l_corr = alpha * l_prev
+            l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+            hd_repeats, rem = divmod(head_dim, NUM_LANES)
+            if rem:
+                l_broadcast = lambda l: l[:, :head_dim]
+            else:
+                l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+            acc_scr[...] *= l_broadcast(l_corr * l_inv)
+            v = v_buf[slot]
+            acc_scr[...] += lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) * l_broadcast(l_inv)
+            return ()
+
+        lax.fori_loop(lo, hi, body, (), unroll=False)
+
+    o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+
+
+def segmented_attention_v2(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_start: jax.Array,
+    kv_end: jax.Array,
+    *,
+    seg_len: int,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Streaming-DMA variant of `segmented_attention` (same semantics)."""
+    total_q, hq, hd = q.shape
+    kv_len, hk, hd_k = k.shape
+    assert hd == hd_k and v.shape == k.shape
+    n_seg = total_q // seg_len
+    assert hq % hk == 0
+    q_per_kv = hq // hk
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+
+    block_q = _pick_block(seg_len, block_q)
+    block_k = _pick_block(kv_len, block_k)
+    seg_pad = round_up(seg_len, block_q)
+    kv_pad = round_up(kv_len, block_k)
+
+    q_r = q.reshape(n_seg, seg_len, hq, hd)
+    if seg_pad != seg_len:
+        q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0), (0, 0)))
+    q_r = q_r.transpose(0, 2, 1, 3)
+    k_r = k.transpose(1, 0, 2)
+    v_r = v.transpose(1, 0, 2)
+    if kv_pad != kv_len:
+        pad = ((0, 0), (0, kv_pad - kv_len), (0, 0))
+        k_r = jnp.pad(k_r, pad)
+        v_r = jnp.pad(v_r, pad)
+
+    grid = (n_seg, hq, seg_pad // block_q)
+
+    kernel = functools.partial(
+        _seg_attn_kernel_v2, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, hd), k.dtype),
+            pltpu.VMEM((2, block_k, hd), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_seg, hq, seg_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), q_r, k_r, v_r)
+
+    out = out.transpose(0, 2, 1, 3)
+    if seg_pad != seg_len:
+        out = out[:, :seg_len]
+    return out.reshape(total_q, hq, hd)
+
+
 def segmented_attention_reference(
     q: jax.Array,
     k: jax.Array,

@@ -84,6 +84,35 @@ def _meta(
     )
 
 
+_JIT_CACHE: dict = {}
+
+
+def _jitted_steps(config: MagiConfig):
+    """jit closures cached by config identity — creating a new sampler must
+    not retrace/recompile (the reference's CUDA-graph reuse concern,
+    solved here by jit-cache hygiene)."""
+    key = id(config)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = (
+            jax.jit(
+                functools.partial(_cfg3_step, config),
+                static_argnames=("n_den", "extra", "use_prefix"),
+                donate_argnums=(1, 2),
+            ),
+            jax.jit(
+                functools.partial(_cfg1_step, config),
+                static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
+                donate_argnums=(1, 2),
+            ),
+            jax.jit(
+                functools.partial(_prefix_warmup_step, config),
+                static_argnames=("n_chunks",),
+                donate_argnums=(1,),
+            ),
+        )
+    return _JIT_CACHE[key]
+
+
 class ArdfSampler:
     """Drives chunk-wise autoregressive denoising for one request
     (PP>1 multi-request pipelining is handled at the mesh level, not here)."""
@@ -122,22 +151,18 @@ class ArdfSampler:
             self.prefix_buf = jnp.zeros((C, self.cw, H, W), jnp.float32)  # dummy
             self.prefix_len = 0
 
-        # jitted steps (specialize per static meta/shape combination)
-        self._jit_cfg3 = jax.jit(
-            functools.partial(_cfg3_step, config),
-            static_argnames=("n_den", "extra", "use_prefix"),
-            donate_argnums=(1, 2),
-        )
-        self._jit_cfg1 = jax.jit(
-            functools.partial(_cfg1_step, config),
-            static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
-            donate_argnums=(1, 2),
-        )
-        self._jit_warmup = jax.jit(
-            functools.partial(_prefix_warmup_step, config),
-            static_argnames=("n_chunks",),
-            donate_argnums=(1,),
-        )
+        # jitted steps (specialize per static meta/shape combination),
+        # cached per config object so new samplers reuse compiled code
+        self._jit_cfg3, self._jit_cfg1, self._jit_warmup = _jitted_steps(config)
+
+        # precompute per-run constants once (per-step eager ops are
+        # dispatch round-trips on remote backends)
+        if inp.has_text:
+            self._text_embs = inp.caption_embs
+        else:  # (ref: video_generate.py:110-115)
+            self._text_embs = jnp.broadcast_to(
+                inp.null_emb, inp.caption_embs.shape
+            ) + jnp.zeros_like(inp.caption_embs)
 
     # ----- per-step host arithmetic -------------------------------------
 
@@ -211,7 +236,7 @@ class ArdfSampler:
                     self.xs,
                     self.cache,
                     jnp.int32(sp),
-                    inp.caption_embs if inp.has_text else jnp.broadcast_to(inp.null_emb, inp.caption_embs.shape),
+                    self._text_embs,
                     jnp.asarray(
                         y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
                     ),
@@ -244,7 +269,7 @@ class ArdfSampler:
                     self.xs,
                     self.cache,
                     jnp.int32(sp),
-                    inp.caption_embs if inp.has_text else jnp.broadcast_to(inp.null_emb, inp.caption_embs.shape),
+                    self._text_embs,
                     jnp.asarray(
                         y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
                     ),
