@@ -27,22 +27,13 @@ from magi_tpu.core.logger import magi_logger, print_rank_0
 
 def _read_shard(path: str) -> Dict[str, np.ndarray]:
     """Load one safetensors shard, transparently handling `.zst`
-    (ref: _load_shard, checkpointing.py:35-65)."""
+    (ref: _load_shard, checkpointing.py:35-65; the reference shells out to
+    a zstd subprocess — ours is in-process, native when available)."""
     from safetensors.numpy import load as st_load
 
-    if path.endswith(".zst"):
-        import zstandard
+    from magi_tpu.runtime_native import read_files
 
-        with open(path, "rb") as f:
-            data = zstandard.ZstdDecompressor().decompress(f.read())
-        return st_load(data)
-    from safetensors import safe_open
-
-    out = {}
-    with safe_open(path, framework="np") as f:
-        for k in f.keys():
-            out[k] = f.get_tensor(k)
-    return out
+    return st_load(read_files([path])[0])
 
 
 def load_state_dict(load_dir: str, fp8_quant: bool = False, distill: bool = False) -> Dict[str, np.ndarray]:
@@ -67,10 +58,19 @@ def load_state_dict(load_dir: str, fp8_quant: bool = False, distill: bool = Fals
         )
     assert shard_files, f"no safetensors shards under {weight_dir}"
 
+    from magi_tpu.runtime_native import available, read_files
+
     state: Dict[str, np.ndarray] = {}
-    with ThreadPoolExecutor(max_workers=min(8, len(shard_files))) as ex:
-        for shard in ex.map(lambda s: _read_shard(os.path.join(weight_dir, s)), shard_files):
-            state.update(shard)
+    if available():
+        # native threaded read + zstd, then parse headers on the host
+        from safetensors.numpy import load as st_load
+
+        for blob in read_files([os.path.join(weight_dir, s) for s in shard_files]):
+            state.update(st_load(blob))
+    else:
+        with ThreadPoolExecutor(max_workers=min(8, len(shard_files))) as ex:
+            for shard in ex.map(lambda s: _read_shard(os.path.join(weight_dir, s)), shard_files):
+                state.update(shard)
     print_rank_0(f"loaded {len(state)} tensors from {weight_dir}")
     return state
 

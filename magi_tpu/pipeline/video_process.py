@@ -215,9 +215,10 @@ def encode_prefix_video(
     (ref: encode_prefix_video, video_process.py:278-311)."""
     if prefix_video is None:
         return None
+    from magi_tpu.runtime_native import u8_thwc_to_f32_cthw
+
     vae = get_vae(vae_ckpt)
-    video = jnp.asarray(prefix_video, jnp.float32).transpose(3, 0, 1, 2)[None]
-    video = video / 127.5 - 1.0
+    video = jnp.asarray(u8_thwc_to_f32_cthw(np.asarray(prefix_video)))[None]
     z = tiled_encode(vae, video.astype(jnp.bfloat16), tile_frames=fps // 2)
     return (z[0] * scale_factor).astype(jnp.float32)
 
@@ -225,12 +226,13 @@ def encode_prefix_video(
 def decode_chunk(chunk: np.ndarray, config: MagiConfig) -> np.ndarray:
     """latent [C, T', H', W'] -> uint8 [T, H, W, 3]
     (ref: decode_chunk + VaeHelper.decode, video_process.py:154-199,347-373)."""
+    from magi_tpu.runtime_native import f32_cthw_to_u8_thwc
+
     rc = config.runtime_config
     vae = get_vae(rc.vae_pretrained)
     z = jnp.asarray(chunk, jnp.bfloat16)[None] / rc.scale_factor
     video = tiled_decode(vae, z, tile_frames=rc.fps // 2)
-    video = jnp.clip(video.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
-    return np.asarray(video[0].transpose(1, 2, 3, 0)).astype(np.uint8)  # THWC
+    return f32_cthw_to_u8_thwc(np.asarray(video[0], np.float32))  # THWC uint8
 
 
 def post_chunk_process(chunk: np.ndarray, config: MagiConfig) -> np.ndarray:
