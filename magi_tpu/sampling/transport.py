@@ -109,6 +109,7 @@ def _jitted_steps(config: MagiConfig):
                 static_argnames=("n_chunks",),
                 donate_argnums=(1,),
             ),
+            jax.jit(lambda c, s: jnp.roll(c, -s, axis=1), donate_argnums=(0,)),
         )
     return _JIT_CACHE[key]
 
@@ -137,7 +138,24 @@ class ArdfSampler:
         self.interval = sched.init_interval(inp.num_steps, shortcut_mode=ec.shortcut_mode)
 
         self.xs = jax.random.normal(key, inp.latent_size, dtype=jnp.float32)
-        self.cache = init_kv_cache(config, (self.chunk_num + 1) * self.ctn)
+
+        # KV memory policy: the reference offloads KV to pinned CPU memory
+        # (ref: dit_module.py:800-819).  TPU-native: with noise2clean
+        # kv-ranges the attended span is bounded, so `kv_offload` becomes a
+        # SLIDING device cache window that rolls forward — O(1) memory in
+        # video length with zero host traffic.
+        offset_chunks = 0 if inp.prefix_video is None else inp.prefix_video.shape[1] // self.cw
+        full_chunks = self.chunk_num + 1
+        if ec.kv_offload and rc.noise2clean_kvrange:
+            span = max(rc.noise2clean_kvrange)
+            if rc.clean_chunk_kvrange != -1:
+                span = max(span, rc.clean_chunk_kvrange)
+            window_chunks = span + self.window + 2  # +extra chunk +distill ride-along
+            self.cache_chunks = min(full_chunks, max(window_chunks, offset_chunks))
+        else:
+            self.cache_chunks = full_chunks
+        self.cache_base = 0  # chunk index of cache slot 0
+        self.cache = init_kv_cache(config, self.cache_chunks * self.ctn)
         self.counts: Counter = Counter()
 
         self.chunk_offset = 0
@@ -153,7 +171,7 @@ class ArdfSampler:
 
         # jitted steps (specialize per static meta/shape combination),
         # cached per config object so new samplers reuse compiled code
-        self._jit_cfg3, self._jit_cfg1, self._jit_warmup = _jitted_steps(config)
+        (self._jit_cfg3, self._jit_cfg1, self._jit_warmup, self._jit_roll) = _jitted_steps(config)
 
         # precompute per-run constants once (per-step eager ops are
         # dispatch round-trips on remote backends)
@@ -229,6 +247,26 @@ class ArdfSampler:
                 nclean = max(self.prefix_len - sp * self.cw, 0) // self.cw
                 tvec_padded[:nclean] = 1.0
 
+            distill_nearly = False
+            if rc.cfg_number == 1:
+                nearly_clean_t = float(tvec_padded[int(extra)])
+                distill_nearly = bool(nearly_clean_t > ec.distill_nearly_clean_chunk_threshold)
+
+            # slide the cache window forward if this step would overflow it
+            need_hi = sp + n_seg + (1 if distill_nearly else 0)
+            new_base = max(0, need_hi - self.cache_chunks)
+            if new_base > self.cache_base:
+                shift = new_base - self.cache_base
+                self.cache = self._jit_roll(self.cache, jnp.int32(shift * self.ctn))
+                self.cache_base = new_base
+            kv_start_r = kv_start - self.cache_base * self.ctn
+            kv_end_r = kv_end - self.cache_base * self.ctn
+            assert kv_start_r.min() >= 0, (
+                f"kv range {kv_start.min()} fell behind the sliding cache window "
+                f"(base {self.cache_base}); widen cache_chunks"
+            )
+            cache_sp = sp - self.cache_base
+
             if rc.cfg_number == 3:
                 ps, ts_ = self._cfg_scales(tvec_padded[-n_den:])
                 self.xs, self.cache = self._jit_cfg3(
@@ -236,6 +274,7 @@ class ArdfSampler:
                     self.xs,
                     self.cache,
                     jnp.int32(sp),
+                    jnp.int32(cache_sp),
                     self._text_embs,
                     jnp.asarray(
                         y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
@@ -243,8 +282,8 @@ class ArdfSampler:
                     inp.null_emb,
                     jnp.int32(inp.null_len),
                     jnp.asarray(tvec),
-                    jnp.asarray(kv_start),
-                    jnp.asarray(kv_end),
+                    jnp.asarray(kv_start_r),
+                    jnp.asarray(kv_end_r),
                     jnp.asarray(dt),
                     jnp.asarray(ps),
                     jnp.asarray(ts_),
@@ -255,10 +294,6 @@ class ArdfSampler:
                     use_prefix=use_prefix,
                 )
             elif rc.cfg_number == 1:
-                nearly_clean_t = float(tvec_padded[int(extra)])
-                distill_nearly = bool(
-                    nearly_clean_t > ec.distill_nearly_clean_chunk_threshold
-                )
                 dfac = (
                     sched.distill_dt_factor(self.num_steps, float(self.interval[didx]))
                     if ec.distill
@@ -269,6 +304,7 @@ class ArdfSampler:
                     self.xs,
                     self.cache,
                     jnp.int32(sp),
+                    jnp.int32(cache_sp),
                     self._text_embs,
                     jnp.asarray(
                         y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
@@ -276,8 +312,8 @@ class ArdfSampler:
                     inp.null_emb,
                     jnp.int32(inp.null_len),
                     jnp.asarray(tvec),
-                    jnp.asarray(kv_start),
-                    jnp.asarray(kv_end),
+                    jnp.asarray(kv_start_r),
+                    jnp.asarray(kv_end_r),
                     jnp.asarray(dt),
                     jnp.float32(dfac),
                     jnp.float32(inp.prev_chunks_scale),
@@ -391,6 +427,7 @@ def _cfg3_step(
     xs,
     cache,
     sp,
+    cache_sp,
     caption_embs,
     y_lens_win,
     null_emb,
@@ -429,11 +466,13 @@ def _cfg3_step(
     t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
 
     # branch 1: cond on prev + text (no cache write, ref: dit_model.py:413-423)
-    meta1 = _meta(n_seg, ctn, HP, WP, sp, kv_start, kv_end, lens_text, update=False, use_cache=True, extra=extra)
+    # NOTE: cache addressing uses cache_sp (window-relative when the sliding
+    # cache is active); rope offsets keep the absolute sp.
+    meta1 = _meta(n_seg, ctn, HP, WP, cache_sp, kv_start, kv_end, lens_text, update=False, use_cache=True, extra=extra)
     v1, _ = dit_forward(params, config, x_chunk, tvec, y_text, jnp.asarray(False), cache, meta1, t_off)
 
     # branch 2: cond on prev, null caption — writes the cache (ref: :425-435)
-    meta2 = _meta(n_seg, ctn, HP, WP, sp, kv_start, kv_end, lens_null, update=True, use_cache=True, extra=extra)
+    meta2 = _meta(n_seg, ctn, HP, WP, cache_sp, kv_start, kv_end, lens_null, update=True, use_cache=True, extra=extra)
     v2, cache = dit_forward(params, config, x_chunk, tvec, y_null, jnp.asarray(True), cache, meta2, t_off)
 
     # branch 3: unconditional — self-only ranges, fresh positions, no cache
@@ -474,6 +513,7 @@ def _cfg1_step(
     xs,
     cache,
     sp,
+    cache_sp,
     caption_embs,
     y_lens_win,
     null_emb,
@@ -519,7 +559,7 @@ def _cfg1_step(
             x_chunk, (0, ss * cw, 0, 0), (x_chunk.shape[0], cw) + x_chunk.shape[2:]
         )
         x_cat = jnp.concatenate([x_chunk, x_nc], axis=1)
-        vmax = (sp + n_seg) * ctn
+        vmax = (cache_sp + n_seg) * ctn
         kv_start_cat = jnp.concatenate([kv_start, jnp.asarray([vmax], jnp.int32)])
         kv_end_cat = jnp.concatenate([kv_end, jnp.asarray([vmax + ctn], jnp.int32)])
         t_cat = jnp.concatenate([tvec, tvec[ss : ss + 1]])
@@ -528,7 +568,7 @@ def _cfg1_step(
         t_off_cat = jnp.concatenate([t_off, jnp.asarray([(sp + n_seg) * chunk_patches], jnp.int32)])
 
         meta = _meta(
-            n_seg + 1, ctn, HP, WP, sp, kv_start_cat, kv_end_cat, lens_cat,
+            n_seg + 1, ctn, HP, WP, cache_sp, kv_start_cat, kv_end_cat, lens_cat,
             update=True, use_cache=True, extra=extra, distill_nearly=True,
         )
         out_cat, cache = dit_forward(
@@ -542,7 +582,7 @@ def _cfg1_step(
         out = jax.lax.dynamic_update_slice(out, blended, (0, ss * cw, 0, 0))
     else:
         meta = _meta(
-            n_seg, ctn, HP, WP, sp, kv_start, kv_end, lens_text,
+            n_seg, ctn, HP, WP, cache_sp, kv_start, kv_end, lens_text,
             update=True, use_cache=True, extra=extra,
         )
         out, cache = dit_forward(
