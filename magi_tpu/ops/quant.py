@@ -1,0 +1,146 @@
+"""Quantized matmul — the TPU-native analog of the reference's fp8 path
+(FlashInfer bmm_fp8 + per-tensor/channel scales, ref: dit_module.py:431-487,
+N3 in SURVEY §2.9).
+
+TPU v5e/v5p MXUs have native int8, not fp8, so the quantized execution
+path here is weight-only int8 with per-output-channel scales:
+  * released fp8 checkpoints load exactly (dequantized) — see
+    checkpoint/loader._dequant_fp8;
+  * `quantize_params_int8` re-quantizes any bf16 weight tree to int8+scales
+    (~2x weight memory saving, the same thing fp8 buys the reference);
+  * `quantized_matmul` runs x @ (w_int8 * scale) with the dequant fused
+    into the MXU epilogue by a Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from magi_tpu.core.utils import cdiv, round_up
+
+
+def quantize_int8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[in, out] -> (int8 [in, out], f32 scales [out]) per-output-channel
+    symmetric quantization (the analog of weight_scale in
+    PerChannelQuantizedFp8Linear, ref: dit_module.py:462-487)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k_tiles: int):
+    """o[m, n] = sum_k x[m, k] * w_int8[k, n] * scale[n]."""
+    kt = pl.program_id(2)
+
+    @pl.when(kt == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    w = w_ref[...].astype(x.dtype)
+    acc_ref[...] += lax.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(kt == n_k_tiles - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def quantized_matmul(
+    x: jax.Array,  # [m, k] bf16/f32
+    w_q: jax.Array,  # [k, n] int8
+    scale: jax.Array,  # [n] f32
+    *,
+    block_m: int = 512,
+    block_k: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and scale.shape == (n,)
+
+    block_m = min(block_m, round_up(m, 128))
+    block_k = min(block_k, round_up(k, 128))
+    block_n = min(block_n, round_up(n, 128))
+    mp, kp, np_ = round_up(m, block_m), round_up(k, block_k), round_up(n, block_n)
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        w_q = jnp.pad(w_q, ((0, kp - k), (0, np_ - n)))
+    if np_ != n:
+        scale = jnp.pad(scale, (0, np_ - n))
+
+    grid = (mp // block_m, np_ // block_n, kp // block_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_k_tiles=grid[2]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kt: (i, kt)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kt: (kt, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kt: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kt: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        interpret=interpret,
+    )(x, w_q, scale.reshape(1, -1))
+    return out[:m, :n]
+
+
+def quantized_matmul_reference(x, w_q, scale):
+    return (
+        x.astype(jnp.float32) @ (w_q.astype(jnp.float32) * scale[None, :].astype(jnp.float32))
+    ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# weight-tree quantization
+# ---------------------------------------------------------------------------
+
+QUANTIZABLE_SUFFIXES = (
+    "self_attention/linear_qkv/q/weight",
+    "self_attention/linear_qkv/qx/weight",
+    "self_attention/linear_qkv/k/weight",
+    "self_attention/linear_qkv/v/weight",
+    "self_attention/linear_kv_xattn/weight",
+    "self_attention/linear_proj/weight",
+    "mlp/linear_fc1/weight",
+    "mlp/linear_fc2/weight",
+)
+
+
+def quantize_params_int8(params: dict) -> dict:
+    """Quantize the big DiT linears to int8 + per-channel scales
+    (~2x weight memory, the saving fp8 buys the reference).  Stacked
+    [L, in, out] leaves get per-layer scales [L, out].  Model integration
+    (a `_dot` that dispatches on weight_q presence) is the quantized
+    execution path; this utility + `quantized_matmul` are its kernels."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+
+    def set_path(tree, keys, value):
+        node = tree
+        for kk in keys[:-1]:
+            node = node.setdefault(kk, {})
+        node[keys[-1]] = value
+
+    new_tree: dict = {}
+    for path, leaf in flat:
+        keys = [str(getattr(kk, "key", kk)) for kk in path]
+        path_str = "/".join(keys)
+        if any(path_str.endswith(sfx) for sfx in QUANTIZABLE_SUFFIXES) and leaf.ndim == 3:
+            q, s = jax.vmap(quantize_int8)(leaf)
+            set_path(new_tree, keys[:-1] + ["weight_q"], q)
+            set_path(new_tree, keys[:-1] + ["weight_scale"], s)
+        else:
+            set_path(new_tree, keys, leaf)
+    return new_tree

@@ -14,6 +14,7 @@ import numpy as np
 
 from magi_tpu.core.config import MagiConfig
 from magi_tpu.core.logger import print_rank_0
+from magi_tpu.core.profiler import log_memory, maybe_trace
 from magi_tpu.core.timer import event_path_timer
 from magi_tpu.core.utils import env_is_true, set_random_seed
 from magi_tpu.parallel.mesh import initialize_mesh
@@ -75,9 +76,14 @@ class MagiPipeline:
         sampler = ArdfSampler(self.config, params, inp, self.key)
         event_path_timer().synced_record("begin_walk")
         segments = []
-        for chunk_idx, chunk in sampler.walk():
-            # VAE-decode each chunk as it becomes clean (streams with the walk)
-            segments.append(post_chunk_process(chunk, self.config))
+        total = inp.chunk_num - sampler.chunk_offset
+        with maybe_trace("walk"):
+            for chunk_idx, chunk in sampler.walk():
+                # VAE-decode each chunk as it becomes clean (streams with the walk)
+                segments.append(post_chunk_process(chunk, self.config))
+                print_rank_0(f"chunk {chunk_idx + 1}/{total} done")
+        event_path_timer().synced_record("end_walk")
+        log_memory("after walk")
         video = np.concatenate(segments, axis=0)
         save_video_to_disk(video, output_path, fps=self.config.runtime_config.fps)
         print_rank_0(

@@ -1,0 +1,62 @@
+"""Quantized matmul kernel (TPU-native N3 analog) tests."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magi_tpu.ops.quant import (
+    quantize_int8,
+    quantize_params_int8,
+    quantized_matmul,
+    quantized_matmul_reference,
+)
+
+QMM = functools.partial(quantized_matmul, interpret=True, block_m=128, block_k=128, block_n=128)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)
+    q, s = quantize_int8(w)
+    deq = q.astype(jnp.float32) * s[None]
+    # per-channel int8: relative error bounded by ~amax/127 per channel
+    amax = np.abs(np.asarray(w)).max(0)
+    assert (np.abs(np.asarray(deq - w)) <= amax / 127.0 + 1e-6).all()
+
+
+def test_quantized_matmul_matches_reference():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(130, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 200)), jnp.float32)
+    q, s = quantize_int8(w)
+    got = QMM(x, q, s)
+    want = quantized_matmul_reference(x, q, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3)
+
+
+def test_quantized_matmul_bf16():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(128, 128)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(128, 128)), jnp.float32)
+    q, s = quantize_int8(w)
+    got = QMM(x, q, s)
+    want = quantized_matmul_reference(x, q, s)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=5e-2, rtol=5e-2
+    )
+
+
+def test_quantize_params_tree():
+    from magi_tpu.models.dit.model import init_dit_params
+    from tests.tiny import tiny_config
+
+    cfg = tiny_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_params_int8(params)
+    fc1 = qp["blocks"]["mlp"]["linear_fc1"]
+    assert "weight_q" in fc1 and fc1["weight_q"].dtype == jnp.int8
+    assert fc1["weight_scale"].shape == (cfg.model_config.num_layers, cfg.model_config.ffn_hidden_size)
+    # non-quantized leaves untouched
+    assert "weight" in qp["blocks"]["ada_modulate_layer"]["proj"]["0"]
