@@ -166,9 +166,11 @@ def _temporal_tiles(T: int, tile: int):
 
 def tiled_encode(vae, video: jnp.ndarray, tile_frames: int) -> jnp.ndarray:
     """[N, C, T, H, W] in [-1,1] -> latent.  Temporal tiles; equal-length
-    tiles are batched through one ViT forward."""
+    tiles are batched through one ViT forward and sharded across the mesh
+    (tile parallelism, ref: tile_parallel.py — see parallel/tile.py)."""
+    from magi_tpu.parallel.tile import pmap_tile_batch
+
     N, C, T, H, W = video.shape
-    tdf = vae.temporal_downsample_factor
     if T <= tile_frames:
         return vae.encode(video)
     spans = _temporal_tiles(T, tile_frames)
@@ -177,7 +179,7 @@ def tiled_encode(vae, video: jnp.ndarray, tile_frames: int) -> jnp.ndarray:
     outs = {}
     if full:
         batch = jnp.concatenate([video[:, :, a:b] for a, b in full], axis=0)
-        z = vae.encode(batch)
+        z = pmap_tile_batch(vae.encode, batch)
         for i, (a, b) in enumerate(full):
             outs[a] = z[i * N : (i + 1) * N]
     for a, b in rest:
@@ -197,10 +199,12 @@ def tiled_decode(vae, z: jnp.ndarray, tile_frames: int) -> jnp.ndarray:
     spans = _temporal_tiles(Tl, tile_lat)
     full = [s for s in spans if s[1] - s[0] == tile_lat]
     rest = [s for s in spans if s[1] - s[0] != tile_lat]
+    from magi_tpu.parallel.tile import pmap_tile_batch
+
     outs = {}
     if full:
         batch = jnp.concatenate([z[:, :, a:b] for a, b in full], axis=0)
-        y = vae.decode(batch)
+        y = pmap_tile_batch(vae.decode, batch)
         for i, (a, b) in enumerate(full):
             outs[a] = y[i * N : (i + 1) * N]
     for a, b in rest:
