@@ -47,16 +47,22 @@ def y_embedder_forward(
     """Caption embedding (ref: dit_module.py:146-154, inference path).
 
     y: [n_seg, L, caption_channels] fp32.
-    caption_dropout: scalar bool — selects which *single token* of the null
-    caption table feeds adaLN: row -1 when dropped, row -2 otherwise
-    (ref: caption_drop_single_token, dit_module.py:138-144).
+    caption_dropout: bool, scalar or [n_seg] — selects which *single token*
+    of the null caption table feeds adaLN per segment: row -1 when dropped,
+    row -2 otherwise (ref: caption_drop_single_token, dit_module.py:138-144;
+    per-segment generalization lets CFG branches share one packed forward).
 
-    Returns (y_xattn [n_seg, L, xattn_hidden], y_adaln [cond_hidden]).
+    Returns (y_xattn [n_seg, L, xattn_hidden],
+             y_adaln [cond_hidden] or [n_seg, cond_hidden]).
     """
     y = y.astype(jnp.float32)
     y_xattn = jax.nn.silu(_linear(params["y_proj_xattn"]["0"], y))
     null_tab = params["null_caption_embedding"].astype(jnp.float32)
-    tok = jnp.where(caption_dropout, null_tab[-1], null_tab[-2])  # [caption_channels]
+    drop = jnp.asarray(caption_dropout)
+    if drop.ndim == 0:
+        tok = jnp.where(drop, null_tab[-1], null_tab[-2])  # [caption_channels]
+    else:
+        tok = jnp.where(drop[:, None], null_tab[None, -1], null_tab[None, -2])  # [n_seg, C]
     y_adaln = _linear(params["y_proj_adaln"]["0"], tok)
     return y_xattn, y_adaln
 

@@ -301,7 +301,9 @@ def dit_forward(
         t_emb = t_emb + t_embedder_forward(params["t_embedder"], dt)
 
     y_xattn, y_adaln = y_embedder_forward(params["y_embedder"], y, caption_dropout)
-    condition = (t_emb + y_adaln[None, :]).astype(jnp.float32)  # [n_seg, ch]
+    if y_adaln.ndim == 1:
+        y_adaln = y_adaln[None, :]
+    condition = (t_emb + y_adaln).astype(jnp.float32)  # [n_seg, ch]
 
     h = tokens.astype(mc.params_dtype)
 

@@ -145,12 +145,16 @@ class ArdfSampler:
         # SLIDING device cache window that rolls forward — O(1) memory in
         # video length with zero host traffic.
         offset_chunks = 0 if inp.prefix_video is None else inp.prefix_video.shape[1] // self.cw
-        full_chunks = self.chunk_num + 1
+        # capacity: window chunks (+extra) plus, for 3-CFG, the packed
+        # uncond segments' scratch kv region (+window), or the distill
+        # ride-along chunk (+1)
+        scratch = self.window if rc.cfg_number == 3 else 1
+        full_chunks = self.chunk_num + scratch + 1
         if ec.kv_offload and rc.noise2clean_kvrange:
             span = max(rc.noise2clean_kvrange)
             if rc.clean_chunk_kvrange != -1:
                 span = max(span, rc.clean_chunk_kvrange)
-            window_chunks = span + self.window + 2  # +extra chunk +distill ride-along
+            window_chunks = span + self.window + scratch + 2
             self.cache_chunks = min(full_chunks, max(window_chunks, offset_chunks))
         else:
             self.cache_chunks = full_chunks
@@ -253,7 +257,9 @@ class ArdfSampler:
                 distill_nearly = bool(nearly_clean_t > ec.distill_nearly_clean_chunk_threshold)
 
             # slide the cache window forward if this step would overflow it
-            need_hi = sp + n_seg + (1 if distill_nearly else 0)
+            # (3-CFG packs n_den uncond scratch segments after the window)
+            scratch = n_den if rc.cfg_number == 3 else (1 if distill_nearly else 0)
+            need_hi = sp + n_seg + scratch
             new_base = max(0, need_hi - self.cache_chunks)
             if new_base > self.cache_base:
                 shift = new_base - self.cache_base
@@ -464,36 +470,49 @@ def _cfg3_step(
     lens_null = jnp.full((n_seg,), null_len, jnp.int32)
 
     t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
+    dw = n_den * cw
 
-    # branch 1: cond on prev + text (no cache write, ref: dit_model.py:413-423)
+    # --- forward A: text-conditioned + unconditional branches PACKED into
+    # one forward (ref runs them separately: dit_model.py:413-423, 447-492).
+    # The uncond "chunks->batch" reshape is just n_den extra segments with
+    # self-only kv-ranges, null captions, per-segment caption dropout, and
+    # temporal offsets restarting at 0.  No cache write. ---
     # NOTE: cache addressing uses cache_sp (window-relative when the sliding
     # cache is active); rope offsets keep the absolute sp.
-    meta1 = _meta(n_seg, ctn, HP, WP, cache_sp, kv_start, kv_end, lens_text, update=False, use_cache=True, extra=extra)
-    v1, _ = dit_forward(params, config, x_chunk, tvec, y_text, jnp.asarray(False), cache, meta1, t_off)
+    y_null = jnp.broadcast_to(null_emb[None], (n_seg, L, null_emb.shape[-1]))
+    lens_null = jnp.full((n_seg,), null_len, jnp.int32)
 
-    # branch 2: cond on prev, null caption — writes the cache (ref: :425-435)
+    x_cat = jnp.concatenate([x_chunk, x_chunk[:, -dw:]], axis=1)
+    t_cat = jnp.concatenate([tvec, tvec[-n_den:]])
+    y_cat = jnp.concatenate([y_text, y_null[:n_den]], axis=0)
+    lens_cat = jnp.concatenate([lens_text, lens_null[:n_den]])
+    # uncond segments' kv land in the view right after the window's
+    u0 = (cache_sp + n_seg) * ctn
+    u_start = u0 + jnp.arange(n_den, dtype=jnp.int32) * ctn
+    kv_start_cat = jnp.concatenate([kv_start, u_start])
+    kv_end_cat = jnp.concatenate([kv_end, u_start + ctn])
+    t_off_cat = jnp.concatenate([t_off, jnp.zeros(n_den, jnp.int32)])
+    dropout_cat = jnp.concatenate(
+        [jnp.zeros(n_seg, bool), jnp.ones(n_den, bool)]
+    )
+
+    meta_a = _meta(
+        n_seg + n_den, ctn, HP, WP, cache_sp, kv_start_cat, kv_end_cat, lens_cat,
+        update=False, use_cache=True, extra=extra,
+    )
+    va, _ = dit_forward(params, config, x_cat, t_cat, y_cat, dropout_cat, cache, meta_a, t_off_cat)
+    v1 = va[:, : n_seg * cw]
+    v3 = va[:, n_seg * cw :]
+
+    # --- forward B: cond on prev, null caption — writes the cache
+    # (ref: dit_model.py:425-435) ---
     meta2 = _meta(n_seg, ctn, HP, WP, cache_sp, kv_start, kv_end, lens_null, update=True, use_cache=True, extra=extra)
     v2, cache = dit_forward(params, config, x_chunk, tvec, y_null, jnp.asarray(True), cache, meta2, t_off)
-
-    # branch 3: unconditional — self-only ranges, fresh positions, no cache
-    # (ref: dit_model.py:447-492; chunks->batch becomes just different ranges)
-    u_start, u_end = kvr.self_only_kvrange(n_den, ctn)
-    meta3 = _meta(
-        n_den, ctn, HP, WP, 0, u_start, u_end, lens_null[:n_den], update=False, use_cache=False
-    )
-    x_den = x_chunk[:, -n_den * cw :]
-    t_den = tvec[-n_den:]
-    t_off3 = jnp.zeros(n_den, jnp.int32)
-    v3, _ = dit_forward(
-        params, config, x_den, t_den, y_null[:n_den], jnp.asarray(True),
-        jnp.zeros((mc.num_layers, 0) + cache.shape[2:], cache.dtype), meta3, t_off3,
-    )
 
     # combine (ref: dit_model.py:520-533)
     def per_chunk(o):
         return o.reshape(o.shape[0], n_den, cw, *o.shape[2:])
 
-    dw = n_den * cw
     c1 = per_chunk(v1[:, -dw:])
     c2 = per_chunk(v2[:, -dw:])
     u = per_chunk(v3)
