@@ -145,6 +145,9 @@ class EngineConfig:
     tp_size: int = 1
     dp_size: int = 1
     high_precision_matmul: bool = False  # exact-fp32 islands vs bf16+f32 accum
+    pack_uncond: bool = False  # pack the uncond CFG branch into the text
+    # forward (2 launches/step instead of 3; costs peak activation memory —
+    # enable on chips with headroom)
 
     @property
     def world_size(self) -> int:

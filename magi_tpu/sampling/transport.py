@@ -96,7 +96,7 @@ def _jitted_steps(config: MagiConfig):
         _JIT_CACHE[key] = (
             jax.jit(
                 functools.partial(_cfg3_step, config),
-                static_argnames=("n_den", "extra", "use_prefix"),
+                static_argnames=("n_den", "extra", "use_prefix", "pack"),
                 donate_argnums=(1, 2),
             ),
             jax.jit(
@@ -148,7 +148,7 @@ class ArdfSampler:
         # capacity: window chunks (+extra) plus, for 3-CFG, the packed
         # uncond segments' scratch kv region (+window), or the distill
         # ride-along chunk (+1)
-        scratch = self.window if rc.cfg_number == 3 else 1
+        scratch = self.window if (rc.cfg_number == 3 and ec.pack_uncond) else 1
         full_chunks = self.chunk_num + scratch + 1
         if ec.kv_offload and rc.noise2clean_kvrange:
             span = max(rc.noise2clean_kvrange)
@@ -258,7 +258,9 @@ class ArdfSampler:
 
             # slide the cache window forward if this step would overflow it
             # (3-CFG packs n_den uncond scratch segments after the window)
-            scratch = n_den if rc.cfg_number == 3 else (1 if distill_nearly else 0)
+            scratch = (
+                n_den if (rc.cfg_number == 3 and ec.pack_uncond) else (1 if distill_nearly else 0)
+            )
             need_hi = sp + n_seg + scratch
             new_base = max(0, need_hi - self.cache_chunks)
             if new_base > self.cache_base:
@@ -298,6 +300,7 @@ class ArdfSampler:
                     n_den=n_den,
                     extra=extra,
                     use_prefix=use_prefix,
+                    pack=ec.pack_uncond,
                 )
             elif rc.cfg_number == 1:
                 dfac = (
@@ -450,8 +453,12 @@ def _cfg3_step(
     n_den: int,
     extra: bool,
     use_prefix: bool,
+    pack: bool = True,
 ):
-    """One denoise step with 3-branch CFG (ref: dit_model.py:400-537)."""
+    """One denoise step with 3-branch CFG (ref: dit_model.py:400-537).
+    pack=True fuses the uncond branch into the text forward (2 launches);
+    pack=False mirrors the reference's 3 separate forwards (lower peak
+    activation memory)."""
     mc, rc = config.model_config, config.runtime_config
     cw = rc.chunk_width
     n_seg = n_den + int(extra)
@@ -471,38 +478,56 @@ def _cfg3_step(
 
     t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
     dw = n_den * cw
-
-    # --- forward A: text-conditioned + unconditional branches PACKED into
-    # one forward (ref runs them separately: dit_model.py:413-423, 447-492).
-    # The uncond "chunks->batch" reshape is just n_den extra segments with
-    # self-only kv-ranges, null captions, per-segment caption dropout, and
-    # temporal offsets restarting at 0.  No cache write. ---
-    # NOTE: cache addressing uses cache_sp (window-relative when the sliding
-    # cache is active); rope offsets keep the absolute sp.
     y_null = jnp.broadcast_to(null_emb[None], (n_seg, L, null_emb.shape[-1]))
     lens_null = jnp.full((n_seg,), null_len, jnp.int32)
 
-    x_cat = jnp.concatenate([x_chunk, x_chunk[:, -dw:]], axis=1)
-    t_cat = jnp.concatenate([tvec, tvec[-n_den:]])
-    y_cat = jnp.concatenate([y_text, y_null[:n_den]], axis=0)
-    lens_cat = jnp.concatenate([lens_text, lens_null[:n_den]])
-    # uncond segments' kv land in the view right after the window's
-    u0 = (cache_sp + n_seg) * ctn
-    u_start = u0 + jnp.arange(n_den, dtype=jnp.int32) * ctn
-    kv_start_cat = jnp.concatenate([kv_start, u_start])
-    kv_end_cat = jnp.concatenate([kv_end, u_start + ctn])
-    t_off_cat = jnp.concatenate([t_off, jnp.zeros(n_den, jnp.int32)])
-    dropout_cat = jnp.concatenate(
-        [jnp.zeros(n_seg, bool), jnp.ones(n_den, bool)]
-    )
+    if pack:
+        # --- forward A: text-conditioned + unconditional branches PACKED
+        # into one forward (ref runs them separately: dit_model.py:413-423,
+        # 447-492).  The uncond "chunks->batch" reshape is just n_den extra
+        # segments with self-only kv-ranges, null captions, per-segment
+        # caption dropout, and temporal offsets restarting at 0.  No cache
+        # write.  cache addressing uses cache_sp (window-relative under the
+        # sliding cache); rope offsets keep the absolute sp. ---
+        x_cat = jnp.concatenate([x_chunk, x_chunk[:, -dw:]], axis=1)
+        t_cat = jnp.concatenate([tvec, tvec[-n_den:]])
+        y_cat = jnp.concatenate([y_text, y_null[:n_den]], axis=0)
+        lens_cat = jnp.concatenate([lens_text, lens_null[:n_den]])
+        # uncond segments' kv land in the view right after the window's
+        u0 = (cache_sp + n_seg) * ctn
+        u_start = u0 + jnp.arange(n_den, dtype=jnp.int32) * ctn
+        kv_start_cat = jnp.concatenate([kv_start, u_start])
+        kv_end_cat = jnp.concatenate([kv_end, u_start + ctn])
+        t_off_cat = jnp.concatenate([t_off, jnp.zeros(n_den, jnp.int32)])
+        dropout_cat = jnp.concatenate([jnp.zeros(n_seg, bool), jnp.ones(n_den, bool)])
 
-    meta_a = _meta(
-        n_seg + n_den, ctn, HP, WP, cache_sp, kv_start_cat, kv_end_cat, lens_cat,
-        update=False, use_cache=True, extra=extra,
-    )
-    va, _ = dit_forward(params, config, x_cat, t_cat, y_cat, dropout_cat, cache, meta_a, t_off_cat)
-    v1 = va[:, : n_seg * cw]
-    v3 = va[:, n_seg * cw :]
+        meta_a = _meta(
+            n_seg + n_den, ctn, HP, WP, cache_sp, kv_start_cat, kv_end_cat, lens_cat,
+            update=False, use_cache=True, extra=extra,
+        )
+        va, _ = dit_forward(params, config, x_cat, t_cat, y_cat, dropout_cat, cache, meta_a, t_off_cat)
+        v1 = va[:, : n_seg * cw]
+        v3 = va[:, n_seg * cw :]
+    else:
+        # branch 1: cond on prev + text (no cache write, ref: dit_model.py:413-423)
+        meta1 = _meta(
+            n_seg, ctn, HP, WP, cache_sp, kv_start, kv_end, lens_text,
+            update=False, use_cache=True, extra=extra,
+        )
+        v1, _ = dit_forward(params, config, x_chunk, tvec, y_text, jnp.asarray(False), cache, meta1, t_off)
+
+        # branch 3: unconditional — self-only ranges, fresh positions, no cache
+        # (ref: dit_model.py:447-492; chunks->batch becomes just different ranges)
+        u_start, u_end = kvr.self_only_kvrange(n_den, ctn)
+        meta3 = _meta(
+            n_den, ctn, HP, WP, 0, u_start, u_end, lens_null[:n_den],
+            update=False, use_cache=False,
+        )
+        v3, _ = dit_forward(
+            params, config, x_chunk[:, -dw:], tvec[-n_den:], y_null[:n_den], jnp.asarray(True),
+            jnp.zeros((mc.num_layers, 0) + cache.shape[2:], cache.dtype), meta3,
+            jnp.zeros(n_den, jnp.int32),
+        )
 
     # --- forward B: cond on prev, null caption — writes the cache
     # (ref: dit_model.py:425-435) ---

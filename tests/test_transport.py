@@ -98,3 +98,19 @@ def test_noise2clean_walk():
     cfg = tiny_config(runtime={"noise2clean_kvrange": [3, 3, 2, 2], "clean_chunk_kvrange": 1})
     chunks, _ = collect(cfg, make_input(cfg, 3))
     assert len(chunks) == 3
+
+
+def test_packed_uncond_matches_unpacked():
+    """pack_uncond=True (2 fused launches) must equal the reference-shaped
+    3-forward step exactly."""
+    inp_args = dict(chunk_num=2)
+    cfg_a = tiny_config()
+    cfg_b = tiny_config(engine={"pack_uncond": True})
+    outs = []
+    for cfg in (cfg_a, cfg_b):
+        inp = make_input(cfg, **inp_args)
+        params = init_dit_params(jax.random.PRNGKey(0), cfg)
+        sampler = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
+        outs.append([c for _, c in sampler.walk()])
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
