@@ -214,13 +214,24 @@ class ArdfSampler:
     def walk(self) -> Generator[Tuple[int, np.ndarray], None, None]:
         """Yields (chunk_idx, clean latent [C, <=cw, H, W]) as chunks finish
         (ref: video_generate.py:721-754)."""
+        self.prepare()
+        for step in range(self.total_forward_steps()):
+            emitted = self.do_step(step)
+            if emitted is not None:
+                yield emitted
+
+    def prepare(self) -> None:
+        if self.chunk_offset > 0 and not getattr(self, "_warmed", False):
+            self._run_prefix_warmup()
+            self._warmed = True
+
+    def do_step(self, step: int) -> Optional[Tuple[int, np.ndarray]]:
+        """Run ONE denoise step; returns (chunk_idx, latent) if a chunk
+        finished (the WorkStatus unit of the reference's work queue,
+        ref: video_generate.py:237-240)."""
         rc, ec = self.config.runtime_config, self.config.engine_config
         inp = self.inp
-
-        if self.chunk_offset > 0:
-            self._run_prefix_warmup()
-
-        for step in range(self.total_forward_steps()):
+        if True:
             dpss, didx, c_start, c_end, t_start, t_end = self._status(step)
             n_den = c_end - c_start
             extra = bool(c_start > self.chunk_offset and didx == 0)
@@ -342,7 +353,8 @@ class ArdfSampler:
             if self.counts[c_start] == self.num_steps:
                 chunk = self._emit(c_start)
                 if chunk is not None:
-                    yield c_start - self.chunk_offset, chunk
+                    return c_start - self.chunk_offset, chunk
+        return None
 
     def _emit(self, chunk_idx: int) -> Optional[np.ndarray]:
         cw = self.cw
@@ -676,3 +688,25 @@ def _prefix_warmup_step(
         distill_factor=dfac,
     )
     return cache
+
+
+def walk_many(samplers) -> Generator[Tuple[int, int, np.ndarray], None, None]:
+    """Round-robin multiple requests through their denoise steps, yielding
+    (request_idx, chunk_idx, latent) — the reference's multi-input work
+    queue (ref: SampleTransport.walk, video_generate.py:721-754; there it
+    exists to keep PP stages busy, here it interleaves requests so VAE
+    decode of one request overlaps denoising of another)."""
+    from queue import Queue
+
+    queue: "Queue[Tuple[int, int]]" = Queue()
+    for idx, s in enumerate(samplers):
+        s.prepare()
+        queue.put((idx, 0))
+    while not queue.empty():
+        idx, step = queue.get()
+        s = samplers[idx]
+        emitted = s.do_step(step)
+        if emitted is not None:
+            yield (idx,) + emitted
+        if step + 1 < s.total_forward_steps():
+            queue.put((idx, step + 1))

@@ -114,3 +114,29 @@ def test_packed_uncond_matches_unpacked():
         outs.append([c for _, c in sampler.walk()])
     for a, b in zip(*outs):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_walk_many_round_robin():
+    """Multi-request work queue: interleaved requests produce exactly the
+    same chunks as independent walks."""
+    from magi_tpu.sampling.transport import walk_many
+
+    cfg = tiny_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    inputs = [make_input(cfg, 2, key=k) for k in (0, 1)]
+
+    solo = []
+    for inp in inputs:
+        s = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
+        solo.append([c for _, c in s.walk()])
+
+    samplers = [ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7)) for inp in inputs]
+    many = {0: [], 1: []}
+    for ridx, cidx, chunk in walk_many(samplers):
+        assert cidx == len(many[ridx])
+        many[ridx].append(chunk)
+
+    for r in (0, 1):
+        assert len(many[r]) == 2
+        for a, b in zip(solo[r], many[r]):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
