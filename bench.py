@@ -94,6 +94,7 @@ def main() -> None:
         chunks.append(item)
     jax.block_until_ready(sampler.xs)
     first_wall = time.perf_counter() - t_wall
+    del sampler, gen, chunks  # free run-1 device state before run 2
 
     # second run with hot compile cache = steady-state measurement
     sampler2 = ArdfSampler(config, params, inp, jax.random.PRNGKey(8))

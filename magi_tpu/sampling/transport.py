@@ -145,11 +145,16 @@ class ArdfSampler:
         # SLIDING device cache window that rolls forward — O(1) memory in
         # video length with zero host traffic.
         offset_chunks = 0 if inp.prefix_video is None else inp.prefix_video.shape[1] // self.cw
-        # capacity: window chunks (+extra) plus, for 3-CFG, the packed
-        # uncond segments' scratch kv region (+window), or the distill
-        # ride-along chunk (+1)
-        scratch = self.window if (rc.cfg_number == 3 and ec.pack_uncond) else 1
-        full_chunks = self.chunk_num + scratch + 1
+        # capacity: the chunk grid itself, plus scratch for the packed
+        # uncond segments (3-CFG with pack_uncond) or the distill
+        # ride-along chunk (1-CFG)
+        if rc.cfg_number == 3 and ec.pack_uncond:
+            scratch = self.window
+        elif rc.cfg_number == 1:
+            scratch = 1
+        else:
+            scratch = 0
+        full_chunks = self.chunk_num + scratch
         if ec.kv_offload and rc.noise2clean_kvrange:
             span = max(rc.noise2clean_kvrange)
             if rc.clean_chunk_kvrange != -1:

@@ -43,5 +43,5 @@ def test_offload_without_n2c_falls_back_to_full():
     inp = make_input(cfg, 3)
     params = init_dit_params(jax.random.PRNGKey(0), cfg)
     sampler = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
-    assert sampler.cache_chunks == 3 + 1 + 1  # chunk_num + scratch + 1
+    assert sampler.cache_chunks == 3  # chunk_num (no scratch, unpacked 3-CFG)
     assert len(list(sampler.walk())) == 3
