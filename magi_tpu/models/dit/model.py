@@ -105,6 +105,19 @@ def _dot(x, w, high_precision: bool = False):
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def _pdot(x, p: dict, high_precision: bool = False):
+    """Linear through a param dict: bf16 `weight`, or int8 `weight_q` +
+    per-channel `weight_scale` (the quantized execution path — TPU-native
+    analog of the reference's fp8 linears, ref: dit_module.py:431-487)."""
+    if "weight_q" in p:
+        from magi_tpu.ops.quant import quantized_matmul, quantized_matmul_reference
+
+        if _use_pallas():
+            return quantized_matmul(x, p["weight_q"], p["weight_scale"]).astype(x.dtype)
+        return quantized_matmul_reference(x, p["weight_q"], p["weight_scale"]).astype(x.dtype)
+    return _dot(x, p["weight"], high_precision)
+
+
 def _bias_modulate_add(x, residual, gate, post_norm_params, eps, zero_centered, n_seg):
     """fp32(gate[seg] * x) -> post_norm -> +residual (ref: dit_module.py:292-307).
     The reference's Triton range_mod gather (N4) reduces to a per-segment
@@ -141,15 +154,15 @@ def attention_forward(
     mixed = layer_norm(x, p["linear_qkv"]["layer_norm"], eps)  # shared pre-LN, plain LN
 
     # --- self-attn q/k/v with fp32 QK-norm + rope (ref: dit_module.py:953-1003) ---
-    q = _dot(mixed, p["linear_qkv"]["q"]["weight"]).reshape(S, hq, hd)
+    q = _pdot(mixed, p["linear_qkv"]["q"]).reshape(S, hq, hd)
     q = layer_norm(q, p["q_layernorm"], eps, zc, compute_dtype=jnp.float32)
     q = apply_rotary(q, sin, cos).astype(x.dtype)
 
-    k = _dot(mixed, p["linear_qkv"]["k"]["weight"]).reshape(S, hk, hd)
+    k = _pdot(mixed, p["linear_qkv"]["k"]).reshape(S, hk, hd)
     k = layer_norm(k, p["k_layernorm"], eps, zc, compute_dtype=jnp.float32)
     k = apply_rotary(k, sin, cos).astype(x.dtype)
 
-    v = _dot(mixed, p["linear_qkv"]["v"]["weight"]).reshape(S, hk, hd)
+    v = _pdot(mixed, p["linear_qkv"]["v"]).reshape(S, hk, hd)
     kv = jnp.concatenate([k, v], axis=-1)  # [S, hk, 2*hd]
 
     # --- KV cache (ref: dit_module.py:891-946) ---
@@ -173,12 +186,12 @@ def attention_forward(
     core = core.reshape(S, hq * hd)
 
     # --- cross-attn (ref: dit_module.py:1005-1021, 1098-1136) ---
-    qx = _dot(mixed, p["linear_qkv"]["qx"]["weight"]).reshape(S, hq, hd)
+    qx = _pdot(mixed, p["linear_qkv"]["qx"]).reshape(S, hq, hd)
     qx = layer_norm(qx, p["q_layernorm_xattn"], eps, zc)
 
     L = y_xattn.shape[1]
     y_flat = y_xattn.reshape(n_seg * L, -1).astype(x.dtype)
-    kv_x = _dot(y_flat, p["linear_kv_xattn"]["weight"]).reshape(n_seg * L, hk, 2 * hd)
+    kv_x = _pdot(y_flat, p["linear_kv_xattn"]).reshape(n_seg * L, hk, 2 * hd)
     k_x = layer_norm(kv_x[..., :hd], p["k_layernorm_xattn"], eps, zc)
     v_x = kv_x[..., hd:]
 
@@ -219,7 +232,7 @@ def layer_forward(
     attn_out = jnp.concatenate([core, xattn], axis=-1)  # [S, 2*hq*hd]
     two_d = attn_out.shape[-1]
     attn_out = attn_out.reshape(S, 2, 8, two_d // 16).transpose(0, 2, 1, 3).reshape(S, two_d)
-    attn_out = _dot(attn_out, p["self_attention"]["linear_proj"]["weight"], high_precision=high_precision)
+    attn_out = _pdot(attn_out, p["self_attention"]["linear_proj"], high_precision=high_precision)
     attn_out = attn_out.astype(x.dtype)
 
     # gating (ref: dit_module.py:1348-1367)
@@ -231,13 +244,13 @@ def layer_forward(
 
     residual = x
     h = layer_norm(x, p["mlp"]["layer_norm"], eps)  # plain LN
-    h = _dot(h, p["mlp"]["linear_fc1"]["weight"])
+    h = _pdot(h, p["mlp"]["linear_fc1"])
     if cfg.gated_linear_unit:
         d = h.shape[-1] // 2
         h = jax.nn.silu(h[..., :d].astype(jnp.float32)).astype(h.dtype) * h[..., d:]
     else:
         h = jax.nn.gelu(h, approximate=False)
-    h = _dot(h, p["mlp"]["linear_fc2"]["weight"])
+    h = _pdot(h, p["mlp"]["linear_fc2"])
     x = _bias_modulate_add(h, residual, gate_mlp, p["mlp_post_norm"], eps, zc, meta.n_segments)
     x = constraint(x, AXIS_CP, None)
     return x, new_cache_l
