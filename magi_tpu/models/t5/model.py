@@ -247,7 +247,11 @@ class T5Embedder:
         model_max_length: int = 120,
         dtype=jnp.bfloat16,
         use_text_preprocessing: bool = True,
+        device: str = "cpu",
     ):
+        """`device` mirrors runtime_config.t5_device (ref: config.py:80):
+        "cpu" keeps the ~9GB T5-XXL on host CPU so it never competes with
+        the DiT for HBM; anything else uses the default accelerator."""
         import json
 
         from transformers import AutoTokenizer
@@ -258,9 +262,15 @@ class T5Embedder:
 
         with open(os.path.join(cache_dir, "config.json")) as f:
             self.config = T5Config.from_hf_config(json.load(f))
-        self.params = self._load_params(cache_dir, dtype)
+        if device == "cpu":
+            self._device = jax.devices("cpu")[0]
+        else:
+            self._device = jax.devices()[0]
+        with jax.default_device(self._device):
+            self.params = self._load_params(cache_dir, dtype)
         self._forward = jax.jit(
-            lambda p, ids, mask: t5_encoder_forward(p, self.config, ids, mask)
+            lambda p, ids, mask: t5_encoder_forward(p, self.config, ids, mask),
+            device=self._device,
         )
 
     def _load_params(self, path: str, dtype):
@@ -299,7 +309,8 @@ class T5Embedder:
             add_special_tokens=True,
             return_tensors="np",
         )
-        ids = jnp.asarray(tok["input_ids"], jnp.int32)
-        mask = jnp.asarray(tok["attention_mask"], jnp.int32)
-        embs = self._forward(self.params, ids, mask)
+        with jax.default_device(self._device):
+            ids = jnp.asarray(tok["input_ids"], jnp.int32)
+            mask = jnp.asarray(tok["attention_mask"], jnp.int32)
+            embs = self._forward(self.params, ids, mask)
         return embs, mask

@@ -124,12 +124,12 @@ def pad_special_token(keys: List[str], embs: np.ndarray, lens: Optional[np.ndarr
 _t5_cache = None
 
 
-def _t5(cache_dir: str, max_len: int):
+def _t5(cache_dir: str, max_len: int, device: str = "cpu"):
     global _t5_cache
     if _t5_cache is None:
         from magi_tpu.models.t5.model import T5Embedder
 
-        embedder = T5Embedder(cache_dir=cache_dir, model_max_length=max_len)
+        embedder = T5Embedder(cache_dir=cache_dir, model_max_length=max_len, device=device)
         if os.environ.get("OFFLOAD_T5_CACHE") == "true":
             return embedder
         _t5_cache = embedder
@@ -141,7 +141,11 @@ def get_txt_embeddings(prompt: str, config: MagiConfig) -> Tuple[np.ndarray, np.
     (ref: get_txt_embeddings, prompt_process.py:181-209; the tp-cp-rank
     broadcast disappears in single-process TPU execution)."""
     print_rank_0("Precompute validation prompt embeddings")
-    t5 = _t5(config.runtime_config.t5_pretrained, config.model_config.caption_max_length)
+    t5 = _t5(
+        config.runtime_config.t5_pretrained,
+        config.model_config.caption_max_length,
+        device=config.runtime_config.t5_device,
+    )
     embs, mask = t5.get_text_embeddings([prompt])
     return np.asarray(embs, np.float32), np.asarray(mask, np.int32)
 
