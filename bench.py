@@ -78,17 +78,10 @@ def main() -> None:
     total_steps = sampler.total_forward_steps()
     dpss = rc.num_steps // rc.window_size
 
-    # drive the walk manually so we can separate compile from steady-state
+    # Run the full walk twice: the first pass pays (persistent-cached)
+    # compiles, the second measures steady state.
     gen = sampler.walk()
-    step_times = []
     t_wall = time.perf_counter()
-
-    class _Probe:
-        pass
-
-    # Instead of instrumenting internals, run the full walk and time the
-    # whole generation; subtract warmup by timing a second short run if on
-    # TPU (compiles are cached after the first).
     chunks = []
     for item in gen:
         chunks.append(item)

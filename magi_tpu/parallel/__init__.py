@@ -1,3 +1,4 @@
+from magi_tpu.parallel.tile import pmap_tile_batch, replicate_vae_params
 from magi_tpu.parallel.mesh import (
     build_mesh,
     destroy_mesh,
@@ -16,4 +17,6 @@ __all__ = [
     "set_mesh",
     "shard_dit_params",
     "shard_kv_cache",
+    "pmap_tile_batch",
+    "replicate_vae_params",
 ]

@@ -164,13 +164,25 @@ def _temporal_tiles(T: int, tile: int):
     return [(s, min(s + tile, T)) for s in range(0, T, tile)]
 
 
-def tiled_encode(vae, video: jnp.ndarray, tile_frames: int) -> jnp.ndarray:
+def tiled_encode(vae, video: jnp.ndarray, tile_frames: int,
+                 tile_hw: int = 256) -> jnp.ndarray:
     """[N, C, T, H, W] in [-1,1] -> latent.  Temporal tiles; equal-length
     tiles are batched through one ViT forward and sharded across the mesh
-    (tile parallelism, ref: tile_parallel.py — see parallel/tile.py)."""
+    (tile parallelism, ref: tile_parallel.py — see parallel/tile.py).
+    Tokenizers that allow spatial tiling additionally go through the
+    overlap-blended 3D grid (ref: TileProcessor; MAGI's ViTVAE does not,
+    ref: vae_model.py:331-333)."""
     from magi_tpu.parallel.tile import pmap_tile_batch
 
     N, C, T, H, W = video.shape
+    if getattr(vae, "allow_spatial_tiling", False) and (H > tile_hw or W > tile_hw):
+        from magi_tpu.pipeline.tiling import tiled_process_3d
+
+        sd, td = vae.spatial_downsample_factor, vae.temporal_downsample_factor
+        return tiled_process_3d(
+            vae.encode, video, tile_t=tile_frames, tile_h=tile_hw, tile_w=tile_hw,
+            scale_t=td, scale_h=sd, scale_w=sd, overlap_t=0.0, overlap_hw=0.25,
+        )
     if T <= tile_frames:
         return vae.encode(video)
     spans = _temporal_tiles(T, tile_frames)
