@@ -424,8 +424,7 @@ def test_full_walk_parity_3cfg(ref_modules):
 
         t = torch.from_numpy(tvec)[None].repeat(2, 1)
         out = model.forward_dispatcher(
-            x=x_chunk2, timestep=t, y=y_all.unsqueeze(1) if y_all.dim() == 3 else y_all,
-            mask=m_all.unsqueeze(1) if m_all.dim() == 3 else m_all,
+            x=x_chunk2, timestep=t, y=y_all, mask=m_all.unsqueeze(1),
             kv_range=kv_range, inference_params=infer_params,
             chunk_width=cw, fwd_extra_1st_chunk=extra, num_steps=num_steps,
             slice_point=sp, range_num=c_end, denoising_range_num=n_seg,
@@ -440,6 +439,129 @@ def test_full_walk_parity_3cfg(ref_modules):
         xs_ref[:, :, c_start * cw : c_end * cw] = xw.reshape(1, C, n_den * cw, H, W)
 
         # our side: one step
+        sampler.do_step(step)
+        np.testing.assert_allclose(
+            np.asarray(sampler.xs), xs_ref[0].numpy(), atol=5e-4, rtol=5e-3,
+        )
+
+
+def test_full_walk_parity_distill_cfg1(ref_modules):
+    """Distill 1-CFG walk parity incl. the nearly-clean ride-along blend
+    (ref: dit_model.py:538-595) and the additive distill Δt embedding."""
+    torch, dit_model_mod, _, common = ref_modules
+    import jax
+    import jax.numpy as jnp
+
+    from magi_tpu.checkpoint.loader import convert_dit_state
+    from magi_tpu.sampling import kv_ranges as kvr
+    from magi_tpu.sampling import schedule as sched
+    from magi_tpu.sampling.transport import ArdfSampler, InferenceInput
+
+    ref_cfg = make_ref_config(common, torch)
+    ref_cfg.runtime_config.cfg_number = 1
+    ref_cfg.engine_config.distill = True
+    our_cfg = make_our_config()
+    our_cfg.runtime_config.cfg_number = 1
+    our_cfg.engine_config.distill = True
+
+    torch.manual_seed(4)
+    model = dit_model_mod.VideoDiTModel(ref_cfg).float().eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn_like(p) * 0.02)
+
+    chunk_num, cw, H, W = 2, 2, 8, 8
+    C = ref_cfg.model_config.in_channels
+    L = ref_cfg.model_config.caption_max_length
+    num_steps, window = 4, 2
+    ctn = cw * (H // 2) * (W // 2)
+    rng = np.random.default_rng(21)
+    y_text = rng.normal(size=(chunk_num, L, ref_cfg.model_config.caption_channels)).astype(np.float32)
+    null_emb = rng.normal(size=(L, ref_cfg.model_config.caption_channels)).astype(np.float32)
+    y_len, null_len = 10, 5
+
+    state = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = convert_dit_state(state, our_cfg)
+    inp = InferenceInput(
+        caption_embs=jnp.asarray(y_text), caption_lens=np.full(chunk_num, y_len, np.int32),
+        null_emb=jnp.asarray(null_emb), null_len=null_len,
+        latent_size=(C, chunk_num * cw, H, W), num_steps=num_steps,
+        chunk_num=chunk_num, has_text=True, prev_chunks_scale=0.7,
+    )
+    sampler = ArdfSampler(our_cfg, params, inp, jax.random.PRNGKey(6))
+    xs0 = np.asarray(sampler.xs)
+
+    from inference.common import InferenceParams
+
+    rc = ref_cfg.runtime_config
+    ec = ref_cfg.engine_config
+    t_total = sched.init_t(num_steps, shortcut_mode=ec.shortcut_mode)
+    interval = sched.init_interval(num_steps, shortcut_mode=ec.shortcut_mode)
+    dpss = num_steps // window
+    xs_ref = torch.from_numpy(xs0.copy())[None]
+    infer_params = InferenceParams(1, (chunk_num + 1) * ctn)
+
+    def caption_rows(idx_list, use_null):
+        rows, lens = [], []
+        for i in idx_list:
+            rows.append(null_emb if use_null else y_text[i])
+            lens.append(null_len if use_null else y_len)
+        y = torch.from_numpy(np.stack(rows)).unsqueeze(1)
+        m = torch.zeros(len(idx_list), 1, L)
+        for j, n in enumerate(lens):
+            m[j, :, :n] = 1
+        return y, m
+
+    os.environ["prev_chunks_scale"] = "0.7"
+    total_steps = dpss * (chunk_num + window - 1)
+    cs_s, ce_s, ts_s, te_s = sched.generate_sequences(chunk_num, window, 0)
+    for step in range(total_steps):
+        stage, didx = divmod(step, dpss)
+        c_start, c_end, t_start, t_end = cs_s[stage], ce_s[stage], ts_s[stage], te_s[stage]
+        n_den = c_end - c_start
+        extra = bool(c_start > 0 and didx == 0)
+        sp = c_start - int(extra)
+        n_seg = n_den + int(extra)
+
+        tvec = sched.get_timestep(t_total, dpss, t_start, t_end, didx,
+                                  clean_t=rc.clean_t if extra else None)
+        steps_of = sched.denoise_step_of_each_chunk(
+            dpss, t_start, t_end, didx, num_steps=num_steps if extra else None)
+        kv_s, kv_e = kvr.denoising_kvrange(rc, sp, n_seg, steps_of, num_steps, ctn)
+        kv_range = torch.tensor(np.stack([kv_s, kv_e], 1), dtype=torch.int32)
+
+        x_chunk = xs_ref[:, :, sp * cw : c_end * cw].clone()
+        x_chunk2 = torch.cat([x_chunk, x_chunk], 0)
+        y_txt, m_txt = caption_rows(list(range(c_start, c_end)), use_null=False)
+        if extra:
+            y_clean, m_clean = caption_rows([0], use_null=True)
+            y_txt = torch.cat([y_clean, y_txt], 0)
+            m_txt = torch.cat([m_clean, m_txt], 0)
+        y_null, m_null = caption_rows([0] * n_seg, use_null=True)
+        y_all = torch.cat([y_txt, y_null], 0)
+        m_all = torch.cat([m_txt, m_null], 0)
+
+        t = torch.from_numpy(tvec)[None].repeat(2, 1)
+        nearly_clean_t = float(tvec[int(extra)])
+        out = model.forward_dispatcher(
+            x=x_chunk2, timestep=t, y=y_all, mask=m_all.unsqueeze(1),
+            kv_range=kv_range, inference_params=infer_params,
+            chunk_width=cw, fwd_extra_1st_chunk=extra, num_steps=num_steps,
+            slice_point=sp, range_num=c_end, denoising_range_num=n_seg,
+            distill_nearly_clean_chunk=bool(
+                nearly_clean_t > ec.distill_nearly_clean_chunk_threshold
+            ),
+            distill_interval=torch.tensor(float(interval[didx])),
+        )
+        velocity = out[0:1]
+        x_win = x_chunk[:, :, -(n_den * cw):]
+        v_win = velocity[:, :, -(n_den * cw):]
+        t_before = sched.get_timestep(t_total, dpss, t_start, t_end, didx)
+        t_after = sched.get_timestep(t_total, dpss, t_start, t_end, didx + 1)
+        dt = torch.from_numpy((t_after - t_before).astype(np.float32))
+        xw = x_win.reshape(1, C, n_den, cw, H, W) + v_win.reshape(1, C, n_den, cw, H, W) * dt.reshape(1, 1, -1, 1, 1, 1)
+        xs_ref[:, :, c_start * cw : c_end * cw] = xw.reshape(1, C, n_den * cw, H, W)
+
         sampler.do_step(step)
         np.testing.assert_allclose(
             np.asarray(sampler.xs), xs_ref[0].numpy(), atol=5e-4, rtol=5e-3,
