@@ -566,3 +566,102 @@ def test_full_walk_parity_distill_cfg1(ref_modules):
         np.testing.assert_allclose(
             np.asarray(sampler.xs), xs_ref[0].numpy(), atol=5e-4, rtol=5e-3,
         )
+
+
+@pytest.fixture(scope="module")
+def ref_vae_module(ref_modules):
+    torch, _, _, _ = ref_modules
+
+    def make_mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    def to_2tuple(x):
+        return x if isinstance(x, tuple) else (x, x)
+
+    def trunc_normal_(tensor, std=1.0, **kw):
+        with torch.no_grad():
+            tensor.normal_(0, std)
+        return tensor
+
+    make_mod("timm")
+    make_mod("timm.models")
+    make_mod("timm.models.layers", to_2tuple=to_2tuple, trunc_normal_=trunc_normal_)
+
+    class _ModelMixin(torch.nn.Module):
+        pass
+
+    class _ConfigMixin:
+        pass
+
+    diff = make_mod("diffusers", ModelMixin=_ModelMixin, ConfigMixin=_ConfigMixin)
+    make_mod("diffusers.configuration_utils", register_to_config=lambda f: f)
+    diff.configuration_utils = sys.modules["diffusers.configuration_utils"]
+
+    def flash_attn_qkvpacked_func(qkv, dropout_p=0.0):
+        q, k, v = qkv.unbind(2)
+        import math as _m
+
+        qf, kf, vf = q.float(), k.float(), v.float()
+        s = torch.einsum("bqhd,bkhd->bhqk", qf, kf) / _m.sqrt(q.shape[-1])
+        return torch.einsum("bhqk,bkhd->bqhd", s.softmax(-1), vf).to(qkv.dtype)
+
+    sys.modules["flash_attn"].flash_attn_qkvpacked_func = flash_attn_qkvpacked_func
+    sys.modules["flash_attn"].flash_attn_func = sys.modules["flash_attn.flash_attn_interface"].flash_attn_func
+    # the reference hard-casts qkv to bf16 purely for the CUDA kernel
+    # (ref: vae_module.py:296); neutralize for exact fp32 comparison
+    torch.Tensor.bfloat16 = lambda self: self
+
+    import importlib
+
+    return importlib.import_module("inference.model.vae.vae_module")
+
+
+def test_vae_parity(ref_modules, ref_vae_module):
+    """Reference ViTEncoder/ViTDecoder vs our VAE on identical weights via
+    the checkpoint converter (validates patch conv, cls/pos-embed handling,
+    block math, posterior, unpatchify, final conv)."""
+    torch, _, _, _ = ref_modules
+    import jax.numpy as jnp
+
+    from magi_tpu.checkpoint.vae_loader import convert_vae_state
+    from magi_tpu.models.vae.model import VaeConfig, ViTVAE
+
+    dd = dict(
+        video_size=32, video_length=8, patch_size=8, patch_length=4,
+        in_chans=3, z_chans=4, double_z=True, embed_dim=64, depth=2,
+        num_heads=4, qkv_bias=True, with_cls_token=True, conv_last_layer=True,
+        use_final_proj=True,  # tiny embed_dim < p*p*pt
+    )
+    torch.manual_seed(7)
+    enc = ref_vae_module.ViTEncoder(**dd).float().eval()
+    dec = ref_vae_module.ViTDecoder(**dd).float().eval()
+    with torch.no_grad():
+        for m in (enc, dec):
+            for p in m.parameters():
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    state = {f"encoder.{k}": v.numpy() for k, v in enc.state_dict().items()}
+    state.update({f"decoder.{k}": v.numpy() for k, v in dec.state_dict().items()})
+    cfg = VaeConfig.from_ddconfig(dd)
+    vae = ViTVAE(cfg, convert_vae_state(state, cfg, dtype=jnp.float32))
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(1, 3, 8, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        stats_ref = enc(torch.from_numpy(x)).numpy()
+    stats_ours = np.asarray(
+        __import__("magi_tpu.models.vae.model", fromlist=["encoder_forward"]).encoder_forward(
+            vae.params["encoder"], cfg, jnp.asarray(x)
+        )
+    )
+    np.testing.assert_allclose(stats_ours, stats_ref, atol=2e-4, rtol=2e-3)
+
+    z = rng.normal(size=(1, 4, 2, 4, 4)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = dec(torch.from_numpy(z)).numpy()
+    out_ours = np.asarray(vae.decode(jnp.asarray(z)))
+    np.testing.assert_allclose(out_ours, out_ref, atol=2e-4, rtol=2e-3)
