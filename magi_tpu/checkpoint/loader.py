@@ -12,17 +12,16 @@ Differences from the reference:
 
 from __future__ import annotations
 
-import io
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
 
 from magi_tpu.core.config import MagiConfig
-from magi_tpu.core.logger import magi_logger, print_rank_0
+from magi_tpu.core.logger import print_rank_0
 
 
 def _read_shard(path: str) -> Dict[str, np.ndarray]:

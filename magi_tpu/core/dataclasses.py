@@ -20,7 +20,7 @@ models/dit/kv_cache.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

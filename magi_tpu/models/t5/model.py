@@ -14,8 +14,7 @@ import dataclasses
 import html
 import os
 import re
-import urllib.parse as ul
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

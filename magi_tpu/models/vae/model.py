@@ -16,8 +16,7 @@ the released diffusers-format ViTVAE weights.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from magi_tpu.core.utils import cdiv, round_up
+from magi_tpu.core.utils import round_up
 
 NUM_LANES = 128
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)

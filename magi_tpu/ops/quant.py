@@ -15,16 +15,15 @@ path here is weight-only int8 with per-output-channel scales:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from magi_tpu.core.utils import cdiv, round_up
+from magi_tpu.core.utils import round_up
 
 
 def quantize_int8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -10,11 +10,9 @@ tile_parallel.py:230-252) for tokenizers that allow spatial tiling.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, List, Tuple
+from typing import Callable, List
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def _tile_starts(size: int, tile: int, overlap: int) -> List[int]:

@@ -13,7 +13,7 @@ device steps.  Worked examples (ref comments video_generate.py:139-161):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -20,7 +20,6 @@ import os
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
 
 from magi_tpu.serve.generator import check_dependencies, generate_magi_video
 

@@ -28,11 +28,19 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def ref_modules():
     torch = pytest.importorskip("torch")
+    _saved_modules = {}
+    _created = []
 
     def make_mod(name, **attrs):
+        import importlib.machinery
+
         m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         for k, v in attrs.items():
             setattr(m, k, v)
+        if name in sys.modules:
+            _saved_modules[name] = sys.modules[name]
+        _created.append(name)
         sys.modules[name] = m
         return m
 
@@ -111,6 +119,8 @@ def ref_modules():
 
     import contextlib
 
+    _orig_autocast = torch.autocast
+
     class _NullAutocast(contextlib.AbstractContextManager):
         def __init__(self, *a, **k):
             pass
@@ -138,7 +148,15 @@ def ref_modules():
     ps.get_cp_rank = lambda: 0
     ps.get_tp_world_size = lambda with_context_parallel=False: 1
 
-    return torch, dit_model, dit_module, common
+    yield torch, dit_model, dit_module, common
+
+    # teardown: un-pollute sys.modules and torch for subsequent test files
+    for name in _created:
+        sys.modules.pop(name, None)
+    sys.modules.update(_saved_modules)
+    torch.Tensor.to = _orig_to
+    del torch.Tensor.cuda
+    torch.autocast = _orig_autocast
 
 
 def make_ref_config(common, torch):
@@ -571,11 +589,19 @@ def test_full_walk_parity_distill_cfg1(ref_modules):
 @pytest.fixture(scope="module")
 def ref_vae_module(ref_modules):
     torch, _, _, _ = ref_modules
+    _saved = {}
+    _created = []
 
     def make_mod(name, **attrs):
+        import importlib.machinery
+
         m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         for k, v in attrs.items():
             setattr(m, k, v)
+        if name in sys.modules:
+            _saved[name] = sys.modules[name]
+        _created.append(name)
         sys.modules[name] = m
         return m
 
@@ -613,11 +639,17 @@ def ref_vae_module(ref_modules):
     sys.modules["flash_attn"].flash_attn_func = sys.modules["flash_attn.flash_attn_interface"].flash_attn_func
     # the reference hard-casts qkv to bf16 purely for the CUDA kernel
     # (ref: vae_module.py:296); neutralize for exact fp32 comparison
+    _orig_bf16_fn = torch.Tensor.bfloat16
     torch.Tensor.bfloat16 = lambda self: self
 
     import importlib
 
-    return importlib.import_module("inference.model.vae.vae_module")
+    yield importlib.import_module("inference.model.vae.vae_module")
+
+    for name in _created:
+        sys.modules.pop(name, None)
+    sys.modules.update(_saved)
+    torch.Tensor.bfloat16 = _orig_bf16_fn
 
 
 def test_vae_parity(ref_modules, ref_vae_module):
