@@ -216,6 +216,9 @@ def encoder_forward(p, cfg: VaeConfig, x: jnp.ndarray) -> jnp.ndarray:
     B, C, T, H, W = x.shape
     pt, ps = cfg.patch_length, cfg.patch_size
     Tl, Hl, Wl = T // pt, H // ps, W // ps
+    # Conv3d with stride=kernel silently truncates remainders; mirror that
+    if (T % pt) or (H % ps) or (W % ps):
+        x = x[:, :, : Tl * pt, : Hl * ps, : Wl * ps]
 
     # Conv3d stride=kernel == patch matmul; feature order (C, kt, kh, kw)
     xp = x.reshape(B, C, Tl, pt, Hl, ps, Wl, ps)

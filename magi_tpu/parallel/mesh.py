@@ -46,10 +46,26 @@ def build_mesh(dp: int = 1, pp: int = 1, cp: int = 1, tp: int = 1, devices=None)
     return Mesh(arr, (AXIS_DP, AXIS_PP, AXIS_CP, AXIS_TP))
 
 
+def maybe_init_multihost() -> None:
+    """Multi-host slice init (the torchrun/c10d rendezvous analog,
+    ref: example/24B/run.sh:27-32): call jax.distributed.initialize() when
+    a coordinator is configured."""
+    import os
+
+    if os.environ.get("MAGI_MULTIHOST") == "1" or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized / single host
+            from magi_tpu.core.logger import magi_logger
+
+            magi_logger.warning(f"jax.distributed.initialize skipped: {e}")
+
+
 def initialize_mesh(config=None, *, dp=1, pp=1, cp=1, tp=1, devices=None) -> Mesh:
     """Analog of dist_init + initialize_model_parallel
     (ref: dist_utils.py:27-62)."""
     global _MESH
+    maybe_init_multihost()
     if config is not None:
         ec = config.engine_config
         dp, pp, cp, tp = ec.dp_size, ec.pp_size, ec.cp_size, ec.tp_size

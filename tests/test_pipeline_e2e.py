@@ -92,3 +92,21 @@ def test_i2v_end_to_end(pipeline_env, tmp_path):
     out = str(tmp_path / "out_i2v.mp4")
     MagiPipeline(tiny_config_json(tmp_path)).run_image_to_video("a dog", img_path, out)
     assert _check_video(out) >= 16
+
+
+def test_v2v_end_to_end(pipeline_env, tmp_path):
+    import cv2
+
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+
+    # write a tiny prefix video via cv2
+    vid_path = str(tmp_path / "prefix.mp4")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 64))
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        vw.write(rng.integers(0, 255, (64, 64, 3), np.uint8).astype(np.uint8))
+    vw.release()
+
+    out = str(tmp_path / "out_v2v.mp4")
+    MagiPipeline(tiny_config_json(tmp_path)).run_video_to_video("continue", vid_path, out)
+    assert _check_video(out) >= 8  # non-prefix frames emitted
