@@ -41,7 +41,12 @@ from magi_tpu.models.dit.embedders import (
     y_embedder_forward,
 )
 from magi_tpu.models.dit.rope import apply_rotary, default_bands, rope_3d_segments
-from magi_tpu.ops.attention import segmented_attention_reference, segmented_attention_v2
+from magi_tpu.ops.attention import (
+    segmented_attention_reference,
+    segmented_attention_two_source,
+    segmented_attention_two_source_reference,
+    segmented_attention_v2,
+)
 
 
 def _use_pallas() -> bool:
@@ -80,6 +85,36 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
         out_specs=spec,
     )
     return fn(q, k, v, kv_start, kv_end)
+
+
+def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
+    """Two-source attention: read-only cache + current kv, two ranges per
+    segment — the cache⊕current concat (ref: dit_module.py:931) without
+    materializing a view copy per layer."""
+    from jax.sharding import PartitionSpec as P
+
+    from magi_tpu.parallel import mesh as mesh_lib
+
+    if _use_pallas():
+        impl = functools.partial(segmented_attention_two_source, block_q=512, block_k=1024)
+    else:
+        impl = segmented_attention_two_source_reference
+
+    mesh = mesh_lib.get_mesh()
+    n_shards = mesh_lib.head_shards(mesh)
+    if mesh_lib.mesh_is_trivial(mesh) or n_shards == 1:
+        return impl(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, seg_len=seg_len)
+
+    heads = (mesh_lib.AXIS_CP, mesh_lib.AXIS_TP)
+    qspec = P(None, heads, None)
+    kvspec = P(None, None, heads, None)
+    fn = jax.shard_map(
+        functools.partial(impl, seg_len=seg_len),
+        mesh=mesh,
+        in_specs=(qspec, kvspec, kvspec, P(), P(), P(), P()),
+        out_specs=qspec,
+    )
+    return fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e)
 
 
 def layer_norm(x, params, eps: float, zero_centered: bool = False, compute_dtype=None):
@@ -163,26 +198,35 @@ def attention_forward(
     k = apply_rotary(k, sin, cos).astype(x.dtype)
 
     v = _pdot(mixed, p["linear_qkv"]["v"]).reshape(S, hk, hd)
-    kv = jnp.concatenate([k, v], axis=-1)  # [S, hk, 2*hd]
+    kv = jnp.stack([k, v], axis=0)  # [2, S, hk, hd]
 
     # --- KV cache (ref: dit_module.py:891-946) ---
+    # The global ranges [s, e) span cache tokens [0, C0) followed by the
+    # current window; split them into per-source ranges so the cache stays
+    # a read-only buffer (no per-layer cache⊕current copy).
     if meta.use_kv_cache:
         start_tok = meta.slice_point * ctn
-        view = lax.dynamic_update_slice(cache_l, kv.astype(cache_l.dtype), (start_tok, 0, 0))
         if meta.update_kv_cache:
             # write-all-on-update; the distill ride-along chunk is excluded
             # (ref: dit_module.py:918-929)
             clip = S - ctn if meta.distill_nearly_clean_chunk else S
-            new_cache_l = lax.dynamic_update_slice(cache_l, kv[:clip].astype(cache_l.dtype), (start_tok, 0, 0))
+            new_cache_l = lax.dynamic_update_slice(
+                cache_l, kv[:, :clip].astype(cache_l.dtype), (0, start_tok, 0, 0)
+            )
         else:
             new_cache_l = cache_l
-        k_full = view[..., :hd].astype(x.dtype)
-        v_full = view[..., hd:].astype(x.dtype)
+        gs = meta.self_attn.kv_start
+        ge = meta.self_attn.kv_end
+        r1s = jnp.minimum(gs, start_tok)
+        r1e = jnp.minimum(ge, start_tok)
+        r2s = jnp.maximum(gs - start_tok, 0)
+        r2e = jnp.maximum(ge - start_tok, 0)
+        core = _attention_cached(
+            q, cache_l.astype(x.dtype), kv, r1s, r1e, r2s, r2e, seg_len=ctn
+        )
     else:
         new_cache_l = cache_l
-        k_full, v_full = k, v
-
-    core = _attention(q, k_full, v_full, meta.self_attn.kv_start, meta.self_attn.kv_end, seg_len=ctn)
+        core = _attention(q, k, v, meta.self_attn.kv_start, meta.self_attn.kv_end, seg_len=ctn)
     core = core.reshape(S, hq * hd)
 
     # --- cross-attn (ref: dit_module.py:1005-1021, 1098-1136) ---
@@ -432,8 +476,9 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
 
 
 def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
+    # [layers, k|v, tokens, kv_heads, head_dim]
     mc = config.model_config
-    return (mc.num_layers, max_tokens, mc.num_query_groups, 2 * mc.kv_channels)
+    return (mc.num_layers, 2, max_tokens, mc.num_query_groups, mc.kv_channels)
 
 
 def init_kv_cache(config: MagiConfig, max_tokens: int, dtype=None) -> jnp.ndarray:

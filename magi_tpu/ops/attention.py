@@ -407,6 +407,221 @@ def segmented_attention_v2(
     return out.reshape(total_q, hq, hd)
 
 
+def _seg_attn_kernel_two_source(
+    # scalar prefetch: per-segment ranges into each source
+    r1_start_ref,
+    r1_end_ref,
+    r2_start_ref,
+    r2_end_ref,
+    # inputs
+    q_ref,  # [1, 1, block_q, hd] VMEM
+    kv1_hbm,  # [2, hk, kv1_pad, hd] ANY (source 1: KV cache)
+    kv2_hbm,  # [2, hk, kv2_pad, hd] ANY (source 2: current kv)
+    # outputs
+    o_ref,
+    # scratch
+    k_buf,
+    v_buf,
+    sems,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    block_k: int,
+    q_per_kv: int,
+):
+    """Two-source streaming variant: each segment attends
+    src1[r1_start, r1_end) then src2[r2_start, r2_end).  Lets the KV cache
+    stay a read-only buffer (no per-layer cache⊕current view copy) — the
+    functional analog of the reference's torch.cat(cache, current)
+    (ref: dit_module.py:931) without materializing it."""
+    seg = pl.program_id(0)
+    head = pl.program_id(1)
+    kv_head = head // q_per_kv
+
+    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def phase(src_hbm, start, end):
+        lo = start // block_k
+        hi = lax.div(end + block_k - 1, block_k)
+
+        def dma(slot, tile):
+            off = pl.multiple_of(tile * block_k, block_k)
+            return (
+                pltpu.make_async_copy(src_hbm.at[0, kv_head, pl.ds(off, block_k), :], k_buf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(src_hbm.at[1, kv_head, pl.ds(off, block_k), :], v_buf.at[slot], sems.at[slot, 1]),
+            )
+
+        @pl.when(lo < hi)
+        def _():
+            for c in dma(0, lo):
+                c.start()
+
+            def body(i, _):
+                slot = lax.rem(i - lo, 2)
+                nxt = lax.rem(i - lo + 1, 2)
+
+                @pl.when(i + 1 < hi)
+                def _():
+                    for c in dma(nxt, i + 1):
+                        c.start()
+
+                for c in dma(slot, i):
+                    c.wait()
+
+                block_q, head_dim = acc_scr.shape
+                q = q_ref[0, 0]
+                k = k_buf[slot]
+                s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+                s *= sm_scale
+                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+                valid = jnp.logical_and(col >= start, col < end)
+                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+                m_prev = m_scr[...]
+                l_prev = l_scr[...]
+                m_curr = jnp.max(s, axis=1)[:, None]
+                m_next = jnp.maximum(m_prev, m_curr)
+                repeats = block_k // NUM_LANES
+                p = jnp.exp(s - jnp.tile(m_next, (1, repeats)))
+                alpha = jnp.exp(m_prev - m_next)
+                l_corr = alpha * l_prev
+                l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+                hd_repeats, rem = divmod(head_dim, NUM_LANES)
+                if rem:
+                    l_broadcast = lambda l: l[:, :head_dim]
+                else:
+                    l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+                m_scr[...] = m_next
+                l_scr[...] = l_next
+                l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+                acc_scr[...] *= l_broadcast(l_corr * l_inv)
+                v = v_buf[slot]
+                acc_scr[...] += lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) * l_broadcast(l_inv)
+                return ()
+
+            lax.fori_loop(lo, hi, body, (), unroll=False)
+
+    phase(kv1_hbm, r1_start_ref[seg], r1_end_ref[seg])
+    phase(kv2_hbm, r2_start_ref[seg], r2_end_ref[seg])
+
+    o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+
+
+def segmented_attention_two_source(
+    q: jax.Array,  # [n_seg * seg_len, hq, hd]
+    kv1: jax.Array,  # [2, kv1_len, hk, hd] (k, v stacked)
+    kv2: jax.Array,  # [2, kv2_len, hk, hd]
+    r1_start: jax.Array,
+    r1_end: jax.Array,
+    r2_start: jax.Array,
+    r2_end: jax.Array,
+    *,
+    seg_len: int,
+    sm_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    total_q, hq, hd = q.shape
+    _, kv1_len, hk, _ = kv1.shape
+    _, kv2_len, hk2, _ = kv2.shape
+    assert hk == hk2
+    n_seg = total_q // seg_len
+    q_per_kv = hq // hk
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+
+    block_q = _pick_block(seg_len, block_q)
+    block_k = _pick_block(max(kv1_len, kv2_len), block_k)
+    seg_pad = round_up(seg_len, block_q)
+
+    q_r = q.reshape(n_seg, seg_len, hq, hd)
+    if seg_pad != seg_len:
+        q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0), (0, 0)))
+    q_r = q_r.transpose(0, 2, 1, 3)
+
+    def prep(kv, n):
+        pad = round_up(max(n, 1), block_k)
+        out = kv.transpose(0, 2, 1, 3)  # [2, hk, n, hd]
+        if pad != n:
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, pad - n), (0, 0)))
+        return out
+
+    kv1_r = prep(kv1, kv1_len)
+    kv2_r = prep(kv2, kv2_len)
+
+    grid = (n_seg, hq, seg_pad // block_q)
+    kernel = functools.partial(
+        _seg_attn_kernel_two_source, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, hd), kv2.dtype),
+            pltpu.VMEM((2, block_k, hd), kv2.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_seg, hq, seg_pad, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        r1_start.astype(jnp.int32), r1_end.astype(jnp.int32),
+        r2_start.astype(jnp.int32), r2_end.astype(jnp.int32),
+        q_r, kv1_r, kv2_r,
+    )
+    out = out.transpose(0, 2, 1, 3)
+    if seg_pad != seg_len:
+        out = out[:, :seg_len]
+    return out.reshape(total_q, hq, hd)
+
+
+def segmented_attention_two_source_reference(
+    q, kv1, kv2, r1_start, r1_end, r2_start, r2_end, *, seg_len, sm_scale=None
+):
+    """Dense reference: concatenate both sources and mask with the union of
+    the two (offset) intervals."""
+    total_q, hq, hd = q.shape
+    _, L1, hk, _ = kv1.shape
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+    n_seg = total_q // seg_len
+    k = jnp.concatenate([kv1[0], kv2[0]], axis=0)
+    v = jnp.concatenate([kv1[1], kv2[1]], axis=0)
+    q_per_kv = hq // hk
+    kf = jnp.repeat(k.astype(jnp.float32), q_per_kv, axis=1)
+    vf = jnp.repeat(v.astype(jnp.float32), q_per_kv, axis=1)
+    qf = q.astype(jnp.float32).reshape(n_seg, seg_len, hq, hd)
+    scores = jnp.einsum("nqhd,khd->nhqk", qf, kf) * sm_scale
+    col = jnp.arange(k.shape[0])[None, None, None, :]
+    in1 = (col >= r1_start[:, None, None, None]) & (col < r1_end[:, None, None, None]) & (col < L1)
+    in2 = (col >= r2_start[:, None, None, None] + L1) & (col < r2_end[:, None, None, None] + L1)
+    scores = jnp.where(in1 | in2, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    out = jnp.einsum("nhqk,khd->nqhd", probs, vf)
+    return out.reshape(total_q, hq, hd).astype(q.dtype)
+
+
 def segmented_attention_reference(
     q: jax.Array,
     k: jax.Array,

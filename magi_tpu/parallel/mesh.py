@@ -149,8 +149,8 @@ def shard_dit_params(params: dict, mesh: Optional[Mesh] = None) -> dict:
 
 
 def kv_cache_spec() -> P:
-    """Cache [L, tok, hk, 2hd]: layer dim over pp, kv heads over cp×tp."""
-    return P(AXIS_PP, None, (AXIS_CP, AXIS_TP), None)
+    """Cache [L, 2, tok, hk, hd]: layer dim over pp, kv heads over cp×tp."""
+    return P(AXIS_PP, None, None, (AXIS_CP, AXIS_TP), None)
 
 
 def shard_kv_cache(cache, mesh: Optional[Mesh] = None):

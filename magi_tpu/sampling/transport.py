@@ -109,7 +109,7 @@ def _jitted_steps(config: MagiConfig):
                 static_argnames=("n_chunks",),
                 donate_argnums=(1,),
             ),
-            jax.jit(lambda c, s: jnp.roll(c, -s, axis=1), donate_argnums=(0,)),
+            jax.jit(lambda c, s: jnp.roll(c, -s, axis=2), donate_argnums=(0,)),
         )
     return _JIT_CACHE[key]
 
@@ -145,21 +145,16 @@ class ArdfSampler:
         # SLIDING device cache window that rolls forward — O(1) memory in
         # video length with zero host traffic.
         offset_chunks = 0 if inp.prefix_video is None else inp.prefix_video.shape[1] // self.cw
-        # capacity: the chunk grid itself, plus scratch for the packed
-        # uncond segments (3-CFG with pack_uncond) or the distill
-        # ride-along chunk (1-CFG)
-        if rc.cfg_number == 3 and ec.pack_uncond:
-            scratch = self.window
-        elif rc.cfg_number == 1:
-            scratch = 1
-        else:
-            scratch = 0
-        full_chunks = self.chunk_num + scratch
+        # capacity: just the chunk grid — current-window kv (incl. packed
+        # uncond segments and the distill ride-along) never enters the
+        # cache buffer (two-source attention reads cache and current
+        # separately)
+        full_chunks = self.chunk_num
         if ec.kv_offload and rc.noise2clean_kvrange:
             span = max(rc.noise2clean_kvrange)
             if rc.clean_chunk_kvrange != -1:
                 span = max(span, rc.clean_chunk_kvrange)
-            window_chunks = span + self.window + scratch + 2
+            window_chunks = span + self.window + 1  # +1 extra clean chunk
             self.cache_chunks = min(full_chunks, max(window_chunks, offset_chunks))
         else:
             self.cache_chunks = full_chunks
@@ -273,11 +268,7 @@ class ArdfSampler:
                 distill_nearly = bool(nearly_clean_t > ec.distill_nearly_clean_chunk_threshold)
 
             # slide the cache window forward if this step would overflow it
-            # (3-CFG packs n_den uncond scratch segments after the window)
-            scratch = (
-                n_den if (rc.cfg_number == 3 and ec.pack_uncond) else (1 if distill_nearly else 0)
-            )
-            need_hi = sp + n_seg + scratch
+            need_hi = sp + n_seg
             new_base = max(0, need_hi - self.cache_chunks)
             if new_base > self.cache_base:
                 shift = new_base - self.cache_base

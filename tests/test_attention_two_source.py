@@ -1,0 +1,67 @@
+"""Two-source segmented attention (cache + current, two ranges/segment)."""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magi_tpu.ops.attention import (
+    segmented_attention_two_source,
+    segmented_attention_two_source_reference,
+)
+
+ATTN = functools.partial(segmented_attention_two_source, interpret=True, block_q=128, block_k=128)
+
+
+def make(rng, n_seg, seg_len, L1, L2, hq, hk, hd):
+    q = jnp.asarray(rng.normal(size=(n_seg * seg_len, hq, hd)), jnp.float32)
+    kv1 = jnp.asarray(rng.normal(size=(2, L1, hk, hd)), jnp.float32)
+    kv2 = jnp.asarray(rng.normal(size=(2, L2, hk, hd)), jnp.float32)
+    return q, kv1, kv2
+
+
+def check(rng, n_seg, seg_len, L1, L2, hq, hk, hd, r1, r2):
+    q, kv1, kv2 = make(rng, n_seg, seg_len, L1, L2, hq, hk, hd)
+    a1 = jnp.asarray([a for a, _ in r1], jnp.int32)
+    b1 = jnp.asarray([b for _, b in r1], jnp.int32)
+    a2 = jnp.asarray([a for a, _ in r2], jnp.int32)
+    b2 = jnp.asarray([b for _, b in r2], jnp.int32)
+    got = ATTN(q, kv1, kv2, a1, b1, a2, b2, seg_len=seg_len)
+    want = segmented_attention_two_source_reference(q, kv1, kv2, a1, b1, a2, b2, seg_len=seg_len)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_cache_plus_current(rng):
+    # the ARDF pattern: cache [0, C0) + current [0, (j+1)ctn)
+    n_seg, ctn, C0 = 2, 128, 256
+    r1 = [(0, C0), (0, C0)]
+    r2 = [(0, ctn), (0, 2 * ctn)]
+    check(rng, n_seg, ctn, C0, n_seg * ctn, 4, 2, 64, r1, r2)
+
+
+def test_empty_cache_range(rng):
+    # uncond: source-1 empty, self-only in source 2
+    n_seg, ctn = 3, 130
+    r1 = [(0, 0)] * n_seg
+    r2 = [(i * ctn, (i + 1) * ctn) for i in range(n_seg)]
+    check(rng, n_seg, ctn, 128, n_seg * ctn, 4, 4, 64, r1, r2)
+
+
+def test_sliding_window_split(rng):
+    # noise2clean: range crosses the cache/current boundary per segment
+    n_seg, ctn, C0 = 2, 128, 256
+    r1 = [(128, 256), (256, 256)]  # second segment: nothing from cache
+    r2 = [(0, 128), (0, 256)]
+    check(rng, n_seg, ctn, C0, n_seg * ctn, 2, 2, 64, r1, r2)
+
+
+def test_unaligned_lengths(rng):
+    check(rng, 2, 90, 200, 180, 4, 2, 64, [(0, 150), (10, 200)], [(0, 90), (0, 180)])
+
+
+def test_empty_both(rng):
+    q, kv1, kv2 = make(rng, 1, 128, 128, 128, 2, 2, 64)
+    z = jnp.zeros(1, jnp.int32)
+    got = ATTN(q, kv1, kv2, z, z, z, z, seg_len=128)
+    np.testing.assert_allclose(np.asarray(got), 0.0)
