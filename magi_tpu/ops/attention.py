@@ -298,8 +298,13 @@ def _seg_attn_kernel_v2(
             k = k_buf[slot]
             s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s *= sm_scale
+            # only boundary tiles can contain out-of-range positions
+            is_boundary = jnp.logical_or(i * block_k < start, (i + 1) * block_k > end)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
-            valid = jnp.logical_and(col >= start, col < end)
+            valid = jnp.logical_or(
+                jnp.logical_not(is_boundary),
+                jnp.logical_and(col >= start, col < end),
+            )
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_scr[...]
@@ -477,8 +482,13 @@ def _seg_attn_kernel_two_source(
                 k = k_buf[slot]
                 s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
                 s *= sm_scale
+                # only boundary tiles can contain out-of-range positions
+                is_boundary = jnp.logical_or(i * block_k < start, (i + 1) * block_k > end)
                 col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
-                valid = jnp.logical_and(col >= start, col < end)
+                valid = jnp.logical_or(
+                    jnp.logical_not(is_boundary),
+                    jnp.logical_and(col >= start, col < end),
+                )
                 s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
                 m_prev = m_scr[...]
