@@ -16,16 +16,25 @@ This single primitive covers every attention pattern in MAGI:
   * cross-attention: kv = per-chunk caption slabs of caption_max_length;
     segment i attends `[i*L, i*L + y_len[i])`
 
+Three implementations, one semantics:
+  * `segmented_attention`      — canonical-grid variant: the kv grid dim is
+    clamped via the index_map so out-of-range tiles re-use the resident
+    block (no DMA) and skip compute.
+  * `segmented_attention_v2`   — streaming variant (TPU default): kv tiles
+    are double-buffer-DMA'd inside the kernel over exactly [lo, hi); no
+    grid steps are spent on skipped tiles.  103 TFLOP/s on v5e at
+    4.5B-480p window-4 shapes.
+  * `segmented_attention_two_source` — v2 with TWO kv buffers and two
+    ranges per segment: the KV cache stays a read-only buffer and the
+    cache⊕current concat (ref: dit_module.py:931) is never materialized.
+
 Design notes (TPU-first)
 ------------------------
 * Ranges are *dynamic values* (scalar-prefetched int32), never shapes: the
   sliding ARDF window and growing KV history do NOT trigger recompilation.
-* The kv grid dimension is clamped via the index_map so out-of-range tiles
-  re-use the resident block (no DMA) and skip compute (`pl.when`) — the
-  same revisiting trick the canonical causal kernels use, generalized to
-  arbitrary per-segment ranges.
 * Online softmax with continuously-normalized accumulator (flash-v2 style).
-* GQA folded into the kv head index_map (no kv replication in HBM).
+* Boundary-only range masking: interior tiles skip the mask entirely.
+* GQA folded into the kv head indexing (no kv replication in HBM).
 """
 
 from __future__ import annotations
