@@ -231,125 +231,124 @@ class ArdfSampler:
         ref: video_generate.py:237-240)."""
         rc, ec = self.config.runtime_config, self.config.engine_config
         inp = self.inp
-        if True:
-            dpss, didx, c_start, c_end, t_start, t_end = self._status(step)
-            n_den = c_end - c_start
-            extra = bool(c_start > self.chunk_offset and didx == 0)
-            sp = c_start - int(extra)
-            n_seg = n_den + int(extra)
+        dpss, didx, c_start, c_end, t_start, t_end = self._status(step)
+        n_den = c_end - c_start
+        extra = bool(c_start > self.chunk_offset and didx == 0)
+        sp = c_start - int(extra)
+        n_seg = n_den + int(extra)
 
-            tvec = sched.get_timestep(
-                self.t_total, dpss, t_start, t_end, didx, clean_t=rc.clean_t if extra else None
+        tvec = sched.get_timestep(
+            self.t_total, dpss, t_start, t_end, didx, clean_t=rc.clean_t if extra else None
+        )
+        steps_of_chunks = sched.denoise_step_of_each_chunk(
+            dpss, t_start, t_end, didx, num_steps=self.num_steps if extra else None
+        )
+        kv_start, kv_end = kvr.denoising_kvrange(
+            rc, sp, n_seg, steps_of_chunks, self.num_steps, self.ctn
+        )
+        t_before = sched.get_timestep(self.t_total, dpss, t_start, t_end, didx)
+        t_after = sched.get_timestep(self.t_total, dpss, t_start, t_end, didx + 1)
+        dt = (t_after - t_before).astype(np.float32)
+
+        # caption windows (host-side numpy lengths; device arrays sliced in-jit)
+        y_lens_win = self.inp.caption_lens[c_start:c_end].astype(np.int32)
+
+        use_prefix = self.prefix_len > 0
+        # mirror prefix padding's t override on host for flag decisions
+        # (ref: flag computed AFTER try_pad, video_generate.py:646-655)
+        tvec_padded = tvec.copy()
+        if use_prefix:
+            nclean = max(self.prefix_len - sp * self.cw, 0) // self.cw
+            tvec_padded[:nclean] = 1.0
+
+        distill_nearly = False
+        if rc.cfg_number == 1:
+            nearly_clean_t = float(tvec_padded[int(extra)])
+            distill_nearly = bool(nearly_clean_t > ec.distill_nearly_clean_chunk_threshold)
+
+        # slide the cache window forward if this step would overflow it
+        need_hi = sp + n_seg
+        new_base = max(0, need_hi - self.cache_chunks)
+        if new_base > self.cache_base:
+            shift = new_base - self.cache_base
+            self.cache = self._jit_roll(self.cache, jnp.int32(shift * self.ctn))
+            self.cache_base = new_base
+        kv_start_r = kv_start - self.cache_base * self.ctn
+        kv_end_r = kv_end - self.cache_base * self.ctn
+        assert kv_start_r.min() >= 0, (
+            f"kv range {kv_start.min()} fell behind the sliding cache window "
+            f"(base {self.cache_base}); widen cache_chunks"
+        )
+        cache_sp = sp - self.cache_base
+
+        if rc.cfg_number == 3:
+            ps, ts_ = self._cfg_scales(tvec_padded[-n_den:])
+            self.xs, self.cache = self._jit_cfg3(
+                self.params,
+                self.xs,
+                self.cache,
+                jnp.int32(sp),
+                jnp.int32(cache_sp),
+                self._text_embs,
+                jnp.asarray(
+                    y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
+                ),
+                inp.null_emb,
+                jnp.int32(inp.null_len),
+                jnp.asarray(tvec),
+                jnp.asarray(kv_start_r),
+                jnp.asarray(kv_end_r),
+                jnp.asarray(dt),
+                jnp.asarray(ps),
+                jnp.asarray(ts_),
+                self.prefix_buf,
+                jnp.int32(self.prefix_len),
+                n_den=n_den,
+                extra=extra,
+                use_prefix=use_prefix,
+                pack=ec.pack_uncond,
             )
-            steps_of_chunks = sched.denoise_step_of_each_chunk(
-                dpss, t_start, t_end, didx, num_steps=self.num_steps if extra else None
+        elif rc.cfg_number == 1:
+            dfac = (
+                sched.distill_dt_factor(self.num_steps, float(self.interval[didx]))
+                if ec.distill
+                else 0.0
             )
-            kv_start, kv_end = kvr.denoising_kvrange(
-                rc, sp, n_seg, steps_of_chunks, self.num_steps, self.ctn
+            self.xs, self.cache = self._jit_cfg1(
+                self.params,
+                self.xs,
+                self.cache,
+                jnp.int32(sp),
+                jnp.int32(cache_sp),
+                self._text_embs,
+                jnp.asarray(
+                    y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
+                ),
+                inp.null_emb,
+                jnp.int32(inp.null_len),
+                jnp.asarray(tvec),
+                jnp.asarray(kv_start_r),
+                jnp.asarray(kv_end_r),
+                jnp.asarray(dt),
+                jnp.float32(dfac),
+                jnp.float32(inp.prev_chunks_scale),
+                self.prefix_buf,
+                jnp.int32(self.prefix_len),
+                n_den=n_den,
+                extra=extra,
+                use_prefix=use_prefix,
+                distill_nearly=distill_nearly,
             )
-            t_before = sched.get_timestep(self.t_total, dpss, t_start, t_end, didx)
-            t_after = sched.get_timestep(self.t_total, dpss, t_start, t_end, didx + 1)
-            dt = (t_after - t_before).astype(np.float32)
+        else:
+            raise NotImplementedError(f"cfg_number={rc.cfg_number}")
 
-            # caption windows (host-side numpy lengths; device arrays sliced in-jit)
-            y_lens_win = self.inp.caption_lens[c_start:c_end].astype(np.int32)
-
-            use_prefix = self.prefix_len > 0
-            # mirror prefix padding's t override on host for flag decisions
-            # (ref: flag computed AFTER try_pad, video_generate.py:646-655)
-            tvec_padded = tvec.copy()
-            if use_prefix:
-                nclean = max(self.prefix_len - sp * self.cw, 0) // self.cw
-                tvec_padded[:nclean] = 1.0
-
-            distill_nearly = False
-            if rc.cfg_number == 1:
-                nearly_clean_t = float(tvec_padded[int(extra)])
-                distill_nearly = bool(nearly_clean_t > ec.distill_nearly_clean_chunk_threshold)
-
-            # slide the cache window forward if this step would overflow it
-            need_hi = sp + n_seg
-            new_base = max(0, need_hi - self.cache_chunks)
-            if new_base > self.cache_base:
-                shift = new_base - self.cache_base
-                self.cache = self._jit_roll(self.cache, jnp.int32(shift * self.ctn))
-                self.cache_base = new_base
-            kv_start_r = kv_start - self.cache_base * self.ctn
-            kv_end_r = kv_end - self.cache_base * self.ctn
-            assert kv_start_r.min() >= 0, (
-                f"kv range {kv_start.min()} fell behind the sliding cache window "
-                f"(base {self.cache_base}); widen cache_chunks"
-            )
-            cache_sp = sp - self.cache_base
-
-            if rc.cfg_number == 3:
-                ps, ts_ = self._cfg_scales(tvec_padded[-n_den:])
-                self.xs, self.cache = self._jit_cfg3(
-                    self.params,
-                    self.xs,
-                    self.cache,
-                    jnp.int32(sp),
-                    jnp.int32(cache_sp),
-                    self._text_embs,
-                    jnp.asarray(
-                        y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
-                    ),
-                    inp.null_emb,
-                    jnp.int32(inp.null_len),
-                    jnp.asarray(tvec),
-                    jnp.asarray(kv_start_r),
-                    jnp.asarray(kv_end_r),
-                    jnp.asarray(dt),
-                    jnp.asarray(ps),
-                    jnp.asarray(ts_),
-                    self.prefix_buf,
-                    jnp.int32(self.prefix_len),
-                    n_den=n_den,
-                    extra=extra,
-                    use_prefix=use_prefix,
-                    pack=ec.pack_uncond,
-                )
-            elif rc.cfg_number == 1:
-                dfac = (
-                    sched.distill_dt_factor(self.num_steps, float(self.interval[didx]))
-                    if ec.distill
-                    else 0.0
-                )
-                self.xs, self.cache = self._jit_cfg1(
-                    self.params,
-                    self.xs,
-                    self.cache,
-                    jnp.int32(sp),
-                    jnp.int32(cache_sp),
-                    self._text_embs,
-                    jnp.asarray(
-                        y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
-                    ),
-                    inp.null_emb,
-                    jnp.int32(inp.null_len),
-                    jnp.asarray(tvec),
-                    jnp.asarray(kv_start_r),
-                    jnp.asarray(kv_end_r),
-                    jnp.asarray(dt),
-                    jnp.float32(dfac),
-                    jnp.float32(inp.prev_chunks_scale),
-                    self.prefix_buf,
-                    jnp.int32(self.prefix_len),
-                    n_den=n_den,
-                    extra=extra,
-                    use_prefix=use_prefix,
-                    distill_nearly=distill_nearly,
-                )
-            else:
-                raise NotImplementedError(f"cfg_number={rc.cfg_number}")
-
-            # bookkeeping + emission (ref: video_generate.py:693-719)
-            for ci in range(c_start, c_end):
-                self.counts[ci] += 1
-            if self.counts[c_start] == self.num_steps:
-                chunk = self._emit(c_start)
-                if chunk is not None:
-                    return c_start - self.chunk_offset, chunk
+        # bookkeeping + emission (ref: video_generate.py:693-719)
+        for ci in range(c_start, c_end):
+            self.counts[ci] += 1
+        if self.counts[c_start] == self.num_steps:
+            chunk = self._emit(c_start)
+            if chunk is not None:
+                return c_start - self.chunk_offset, chunk
         return None
 
     def _emit(self, chunk_idx: int) -> Optional[np.ndarray]:
