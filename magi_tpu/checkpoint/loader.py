@@ -101,13 +101,20 @@ def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
     def g(name: str) -> np.ndarray:
         return np.asarray(state[name], np.float32)
 
+    def _host_cast(arr: np.ndarray, dt) -> jnp.ndarray:
+        # dtype cast on host: eager device casts compile per-shape on
+        # remote backends
+        if dt == jnp.bfloat16:
+            arr = arr.astype(jnp.bfloat16.dtype)
+        return jnp.asarray(arr, dt)
+
     def lin_T(name: str, dt) -> jnp.ndarray:
-        return jnp.asarray(g(name).T, dt)
+        return _host_cast(g(name).T, dt)
 
     def stacked(fmt: str, transpose: bool, dt) -> jnp.ndarray:
         mats = [np.asarray(state[fmt.format(i)], np.float32) for i in range(L)]
         arr = np.stack([m.T if transpose else m for m in mats])
-        return jnp.asarray(arr, dt)
+        return _host_cast(arr, dt)
 
     def stacked_norm(fmt: str, dt=jnp.float32) -> dict:
         return {

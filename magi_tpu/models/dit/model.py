@@ -420,7 +420,10 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
             # fast benchmarking/compile-check init: TPU matmul latency is
             # data-independent, so zeros time identically to real weights
             return jnp.zeros(shape, dt)
-        return jnp.asarray(rng.normal(0, std, shape).astype(np.float32), dt)
+        # cast on the host (ml_dtypes) — an eager device cast would cost a
+        # compile per shape on remote backends
+        arr = rng.normal(0, std, shape).astype(np.float32)
+        return jnp.asarray(arr.astype(jnp.bfloat16.dtype) if dt == jnp.bfloat16 else arr, dt)
 
     def lin(i, o, dt=dtype, std=0.02, stacked=True, bias=False):
         shape = (L, i, o) if stacked else (i, o)
