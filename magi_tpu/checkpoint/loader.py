@@ -102,10 +102,12 @@ def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
         return np.asarray(state[name], np.float32)
 
     def _host_cast(arr: np.ndarray, dt) -> jnp.ndarray:
-        # dtype cast on host: eager device casts compile per-shape on
-        # remote backends
+        # dtype cast on host (native runtime when available): eager device
+        # casts compile per-shape on remote backends
         if dt == jnp.bfloat16:
-            arr = arr.astype(jnp.bfloat16.dtype)
+            from magi_tpu.runtime_native import f32_to_bf16
+
+            arr = f32_to_bf16(arr)
         return jnp.asarray(arr, dt)
 
     def lin_T(name: str, dt) -> jnp.ndarray:

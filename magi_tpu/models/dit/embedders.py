@@ -95,7 +95,7 @@ def init_embedder_params(rng, cfg: ModelConfig, zeros: bool = False) -> dict:
     def w(shape):
         if zeros:
             return jnp.zeros(shape, jnp.float32)
-        return jnp.asarray(rng.normal(0, 0.02, shape).astype(np.float32))
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 0.02)
 
     def lin(i, o, bias=True):
         p = {"weight": w((i, o))}

@@ -420,10 +420,17 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
             # fast benchmarking/compile-check init: TPU matmul latency is
             # data-independent, so zeros time identically to real weights
             return jnp.zeros(shape, dt)
-        # cast on the host (ml_dtypes) — an eager device cast would cost a
+        # uniform with matched variance (Gaussian ziggurat is ~5x slower and
+        # the distribution is irrelevant for random-weight debug runs);
+        # dtype cast on the host — an eager device cast would cost a
         # compile per shape on remote backends
-        arr = rng.normal(0, std, shape).astype(np.float32)
-        return jnp.asarray(arr.astype(jnp.bfloat16.dtype) if dt == jnp.bfloat16 else arr, dt)
+        bound = std * 1.7320508
+        arr = rng.uniform(-bound, bound, shape).astype(np.float32)
+        if dt == jnp.bfloat16:
+            from magi_tpu.runtime_native import f32_to_bf16
+
+            arr = f32_to_bf16(arr)
+        return jnp.asarray(arr, dt)
 
     def lin(i, o, dt=dtype, std=0.02, stacked=True, bias=False):
         shape = (L, i, o) if stacked else (i, o)

@@ -124,7 +124,7 @@ def init_t5_params(cfg: T5Config, seed: int = 0, dtype=jnp.float32) -> dict:
 
     def w(*shape, stacked=True):
         s = (Lr,) + shape if stacked else shape
-        return jnp.asarray(rng.normal(0, 0.02, s).astype(np.float32), dtype)
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32) * 0.02, dtype)
 
     inner = cfg.num_heads * cfg.d_kv
     return {

@@ -365,7 +365,7 @@ def init_vae_params(cfg: VaeConfig, seed: int = 0, dtype=jnp.float32) -> dict:
 
     def w(shape, std=0.02, stacked=False):
         s = (depth,) + shape if stacked else shape
-        return jnp.asarray(rng.normal(0, std, s).astype(np.float32), dtype)
+        return jnp.asarray(rng.standard_normal(s, dtype=np.float32) * std, dtype)
 
     def lin(i, o, bias=True, stacked=False):
         p = {"weight": w((i, o), stacked=stacked)}

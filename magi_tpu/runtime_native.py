@@ -126,6 +126,20 @@ def read_files(paths: List[str], n_threads: int = 0) -> List[bytes]:
     return [b[: c_out[i]].tobytes() for i, b in enumerate(bufs)]
 
 
+def f32_to_bf16(arr: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    """f32 -> bf16 (round-to-nearest-even), returned as a bfloat16-viewed
+    array (ml_dtypes).  ~10x faster than ml_dtypes astype for big arrays."""
+    import jax.numpy as jnp
+
+    lib = get_lib()
+    src = np.ascontiguousarray(arr, dtype=np.float32)
+    if lib is None:
+        return src.astype(jnp.bfloat16.dtype)
+    dst = np.empty(src.shape, np.uint16)
+    lib.magi_f32_to_bf16(src.ctypes.data, dst.ctypes.data, src.size, n_threads)
+    return dst.view(jnp.bfloat16.dtype)
+
+
 def bf16_to_f32(arr: np.ndarray, n_threads: int = 0) -> np.ndarray:
     """uint16-viewed bf16 -> f32."""
     lib = get_lib()
