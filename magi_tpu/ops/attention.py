@@ -360,6 +360,13 @@ def segmented_attention_v2(
     total_q, hq, hd = q.shape
     kv_len, hk, hd_k = k.shape
     assert hd == hd_k and v.shape == k.shape
+    if hd % NUM_LANES != 0:
+        # manual DMA slices must be lane-aligned; the grid variant's
+        # BlockSpecs handle sub-128 head dims (e.g. the VAE's 64)
+        return segmented_attention(
+            q, k, v, kv_start, kv_end, seg_len=seg_len, sm_scale=sm_scale,
+            block_q=block_q, block_k=min(block_k, 512), interpret=interpret,
+        )
     n_seg = total_q // seg_len
     assert hq % hk == 0
     q_per_kv = hq // hk
@@ -549,6 +556,11 @@ def segmented_attention_two_source(
     _, kv1_len, hk, _ = kv1.shape
     _, kv2_len, hk2, _ = kv2.shape
     assert hk == hk2
+    if not interpret:
+        assert hd % NUM_LANES == 0, (
+            f"two-source streaming kernel requires head_dim % {NUM_LANES} == 0 "
+            f"(got {hd}); DiT uses 128"
+        )
     n_seg = total_q // seg_len
     q_per_kv = hq // hk
     if sm_scale is None:
