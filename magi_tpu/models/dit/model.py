@@ -485,6 +485,37 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
     return params
 
 
+def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
+    """Random init generated ON DEVICE in one jitted program — no host->
+    device weight transfer (useful on slow links; SKIP_LOAD debug path)."""
+    skeleton = init_dit_params(key, config, zeros=True)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+
+    randomized = []
+    for path, leaf in flat:
+        path_str = "/".join(str(getattr(kk, "key", kk)) for kk in path)
+        is_matmul = path_str.endswith("weight") and leaf.ndim >= 2 and not any(
+            n in path_str for n in ("layer_norm", "layernorm", "post_norm")
+        )
+        randomized.append(is_matmul or "null_caption_embedding" in path_str)
+
+    def build(k):
+        out = []
+        bound = 0.02 * (3.0 ** 0.5)
+        for i, ((path, leaf), do_rand) in enumerate(zip(flat, randomized)):
+            if do_rand:
+                out.append(
+                    jax.random.uniform(
+                        jax.random.fold_in(k, i), leaf.shape, jnp.float32, -bound, bound
+                    ).astype(leaf.dtype)
+                )
+            else:
+                out.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return jax.jit(build)(key)
+
+
 def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
     # [layers, k|v, tokens, kv_heads, head_dim]
     mc = config.model_config

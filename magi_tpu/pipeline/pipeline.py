@@ -25,10 +25,13 @@ from magi_tpu.sampling.transport import ArdfSampler
 def get_dit(config: MagiConfig):
     """Build + load the DiT parameters (ref: get_dit, dit_model.py:641-673).
     SKIP_LOAD_MODEL=1 gives random weights (ref: dit_model.py:602)."""
-    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.models.dit.model import init_dit_params, init_dit_params_on_device
 
     if env_is_true("SKIP_LOAD_MODEL"):
         print_rank_0("SKIP_LOAD_MODEL set: using random weights")
+        if jax.default_backend() == "tpu":
+            # generate on device: no multi-GB host->device weight upload
+            return init_dit_params_on_device(jax.random.PRNGKey(config.runtime_config.seed), config)
         return init_dit_params(jax.random.PRNGKey(config.runtime_config.seed), config)
     from magi_tpu.checkpoint.loader import load_dit_params
 
