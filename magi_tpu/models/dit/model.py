@@ -499,10 +499,12 @@ def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
         )
         randomized.append(is_matmul or "null_caption_embedding" in path_str)
 
-    def build(k):
+    # skeleton leaves are donated so the zeros buffers are reused in place
+    # (peak memory = one parameter set, not two)
+    def build(k, leaves):
         out = []
         bound = 0.02 * (3.0 ** 0.5)
-        for i, ((path, leaf), do_rand) in enumerate(zip(flat, randomized)):
+        for i, (leaf, do_rand) in enumerate(zip(leaves, randomized)):
             if do_rand:
                 out.append(
                     jax.random.uniform(
@@ -513,7 +515,7 @@ def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
                 out.append(leaf)
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    return jax.jit(build)(key)
+    return jax.jit(build, donate_argnums=(1,))(key, [leaf for _, leaf in flat])
 
 
 def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
