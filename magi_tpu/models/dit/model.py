@@ -506,10 +506,12 @@ def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
         bound = 0.02 * (3.0 ** 0.5)
         for i, (leaf, do_rand) in enumerate(zip(leaves, randomized)):
             if do_rand:
+                # generate directly in the target dtype: an f32 intermediate
+                # of the largest leaf alone is ~5GB at 24B scale
                 out.append(
                     jax.random.uniform(
-                        jax.random.fold_in(k, i), leaf.shape, jnp.float32, -bound, bound
-                    ).astype(leaf.dtype)
+                        jax.random.fold_in(k, i), leaf.shape, leaf.dtype, -bound, bound
+                    )
                 )
             else:
                 out.append(leaf)
