@@ -486,9 +486,15 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
 
 
 def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
-    """Random init generated ON DEVICE in one jitted program — no host->
-    device weight transfer (useful on slow links; SKIP_LOAD debug path)."""
-    skeleton = init_dit_params(key, config, zeros=True)
+    """Random init generated ON DEVICE in one jitted program — no multi-GB
+    host->device weight transfer (SKIP_LOAD debug path on slow links).
+
+    The zeros/ones skeleton is built on host CPU (no device memory); only
+    the small non-random leaves (norms, biases, rope bands) are shipped,
+    and every matmul weight is drawn on device in its target dtype."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        skeleton = init_dit_params(key, config, zeros=True)
     flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
 
     randomized = []
@@ -499,25 +505,21 @@ def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
         )
         randomized.append(is_matmul or "null_caption_embedding" in path_str)
 
-    # skeleton leaves are donated so the zeros buffers are reused in place
-    # (peak memory = one parameter set, not two)
-    def build(k, leaves):
+    shapes = [(leaf.shape, leaf.dtype) for _, leaf in flat]
+    small = [leaf for (_, leaf), r in zip(flat, randomized) if not r]
+
+    def build(k, small_leaves):
         out = []
         bound = 0.02 * (3.0 ** 0.5)
-        for i, (leaf, do_rand) in enumerate(zip(leaves, randomized)):
+        it = iter(small_leaves)
+        for i, ((shape, dt), do_rand) in enumerate(zip(shapes, randomized)):
             if do_rand:
-                # generate directly in the target dtype: an f32 intermediate
-                # of the largest leaf alone is ~5GB at 24B scale
-                out.append(
-                    jax.random.uniform(
-                        jax.random.fold_in(k, i), leaf.shape, leaf.dtype, -bound, bound
-                    )
-                )
+                out.append(jax.random.uniform(jax.random.fold_in(k, i), shape, dt, -bound, bound))
             else:
-                out.append(leaf)
+                out.append(next(it))
         return jax.tree_util.tree_unflatten(treedef, out)
 
-    return jax.jit(build, donate_argnums=(1,))(key, [leaf for _, leaf in flat])
+    return jax.jit(build)(key, small)
 
 
 def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
