@@ -101,9 +101,15 @@ def head_shards(mesh: Optional[Mesh]) -> int:
 
 def constraint(x, *spec):
     """with_sharding_constraint if a non-trivial mesh is active; no-op
-    otherwise (keeps the model code mesh-agnostic)."""
+    otherwise (keeps the model code mesh-agnostic).  Also a no-op when every
+    named axis in `spec` has size 1 (e.g. cp constraints under a dp-only
+    serving mesh) — a trivial constraint is pure tracing noise and breaks
+    rank-alignment under vmap (dp request batching)."""
     mesh = get_mesh()
     if mesh_is_trivial(mesh):
+        return x
+    names = [a for entry in spec if entry for a in ((entry,) if isinstance(entry, str) else entry)]
+    if all(mesh.shape[a] == 1 for a in names):
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 

@@ -67,6 +67,41 @@ class MagiPipeline:
         prefix_video = process_prefix_video(prefix_video_path, self.config)
         self._run(prompt, prefix_video, output_path)
 
+    def run_text_to_video_batch(self, prompts, output_paths) -> None:
+        """Generate several prompts in lockstep, batched over the `dp` mesh
+        axis (the reference scales request throughput with per-rank engine
+        replicas, ref: parallel_state.py dp groups; here the batch axis is
+        sharded P('dp') and one jitted step serves the whole batch)."""
+        from magi_tpu.sampling.batched import DpBatchedSampler
+
+        assert len(prompts) == len(output_paths) and prompts
+        t0 = time.perf_counter()
+        params = get_dit(self.config)
+        null_caption = np.asarray(params["y_embedder"]["null_caption_embedding"], np.float32)
+
+        inps, keys = [], []
+        for i, prompt in enumerate(prompts):
+            caption_embs, emb_masks = get_txt_embeddings(prompt, self.config)
+            inps.append(
+                build_inference_input(self.config, null_caption, caption_embs, emb_masks, None)
+            )
+            keys.append(jax.random.fold_in(self.key, i))
+
+        sampler = DpBatchedSampler(self.config, params, inps, keys)
+        total = inps[0].chunk_num - sampler.chunk_offset
+        segments = [[] for _ in prompts]
+        with maybe_trace("walk_batch"):
+            for chunk_idx, chunks in sampler.walk():  # chunks: [R, C, <=cw, H, W]
+                for r in range(len(prompts)):
+                    segments[r].append(post_chunk_process(chunks[r], self.config))
+                print_rank_0(f"chunk {chunk_idx + 1}/{total} done (batch of {len(prompts)})")
+        for r, path in enumerate(output_paths):
+            video = np.concatenate(segments[r], axis=0)
+            save_video_to_disk(video, path, fps=self.config.runtime_config.fps)
+        print_rank_0(
+            f"Finish batched MagiPipeline: {len(prompts)} videos in {time.perf_counter() - t0:.1f}s"
+        )
+
     def _run(self, prompt: str, prefix_video, output_path: str) -> None:
         t0 = time.perf_counter()
         caption_embs, emb_masks = get_txt_embeddings(prompt, self.config)

@@ -1,0 +1,173 @@
+"""dp-axis request batching: denoise N same-shape requests in lockstep,
+sharded over the mesh's `dp` axis.
+
+The reference scales request throughput by replicating the whole engine per
+DP rank and scattering requests across ranks (ref: parallel_state.py data
+parallel groups + one SampleTransport per rank).  TPU-native equivalent:
+requests become a leading batch axis on the latent state / KV cache /
+captions, the per-step device functions are `jax.vmap`-ed over that axis,
+and the batch axis is sharded `P('dp')` on the serving mesh — XLA then runs
+each request's step on its own device group with zero cross-request
+communication, while the host loop stays a single scheduler.
+
+Constraints (checked at construction): all requests must share latent
+geometry, step count, chunk count and prefix length — the lockstep schedule
+is what makes one jitted program serve the whole batch.  Mixed text/no-text
+is fine (per-request caption slabs + lengths).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from magi_tpu.core.config import MagiConfig
+from magi_tpu.parallel import mesh as mesh_lib
+from magi_tpu.sampling.transport import (
+    ArdfSampler,
+    InferenceInput,
+    _cfg1_step,
+    _cfg3_step,
+    _prefix_warmup_step,
+)
+
+_BATCH_JIT_CACHE: dict = {}
+
+# in_axes over the positional args of each step fn (after the bound config):
+# 0 = per-request (stacked), None = shared across the batch.
+_CFG3_AXES = (None, 0, 0, None, None, 0, 0, None, None, None, None, None, None, None, None, 0, None)
+_CFG1_AXES = (None, 0, 0, None, None, 0, 0, None, None, None, None, None, None, None, None, 0, None)
+_WARMUP_AXES = (None, 0, 0, None, None, None, None, None, None)
+
+
+def _dp_constrain(tree):
+    """Pin the leading request axis of every array to the dp mesh axis."""
+    return jax.tree_util.tree_map(lambda a: mesh_lib.constraint(a, mesh_lib.AXIS_DP), tree)
+
+
+def _batched_steps(config: MagiConfig):
+    key = (id(config), "dp_batch")
+    if key not in _BATCH_JIT_CACHE:
+
+        def cfg3(params, xs, cache, *rest, n_den, extra, use_prefix, pack):
+            f = lambda *a: _cfg3_step(
+                config, *a, n_den=n_den, extra=extra, use_prefix=use_prefix, pack=pack
+            )
+            out = jax.vmap(f, in_axes=_CFG3_AXES)(params, xs, cache, *rest)
+            return _dp_constrain(out)
+
+        def cfg1(params, xs, cache, *rest, n_den, extra, use_prefix, distill_nearly):
+            f = lambda *a: _cfg1_step(
+                config, *a, n_den=n_den, extra=extra, use_prefix=use_prefix,
+                distill_nearly=distill_nearly,
+            )
+            out = jax.vmap(f, in_axes=_CFG1_AXES)(params, xs, cache, *rest)
+            return _dp_constrain(out)
+
+        def warmup(params, cache, *rest, n_chunks):
+            f = lambda *a: _prefix_warmup_step(config, *a, n_chunks=n_chunks)
+            return _dp_constrain(jax.vmap(f, in_axes=_WARMUP_AXES)(params, cache, *rest))
+
+        _BATCH_JIT_CACHE[key] = (
+            jax.jit(cfg3, static_argnames=("n_den", "extra", "use_prefix", "pack"),
+                    donate_argnums=(1, 2)),
+            jax.jit(cfg1, static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
+                    donate_argnums=(1, 2)),
+            jax.jit(warmup, static_argnames=("n_chunks",), donate_argnums=(1,)),
+            jax.jit(lambda c, s: _dp_constrain(jnp.roll(c, -s, axis=3)), donate_argnums=(0,)),
+        )
+    return _BATCH_JIT_CACHE[key]
+
+
+class DpBatchedSampler(ArdfSampler):
+    """ArdfSampler over a stack of requests: identical host scheduling, but
+    every per-request array carries a leading batch axis sharded `P('dp')`.
+
+    `walk()` yields `(chunk_idx, latents[R, C, <=cw, H, W])` — one decode
+    batch per finished chunk position, covering all R requests."""
+
+    def __init__(
+        self,
+        config: MagiConfig,
+        params,
+        inps: Sequence[InferenceInput],
+        keys: Sequence[jax.Array],
+    ):
+        assert len(inps) >= 1 and len(inps) == len(keys)
+        base = inps[0]
+        for inp in inps[1:]:
+            assert inp.latent_size == base.latent_size, "dp batch: latent sizes must match"
+            assert inp.num_steps == base.num_steps, "dp batch: num_steps must match"
+            assert inp.chunk_num == base.chunk_num, "dp batch: chunk_num must match"
+            assert inp.prev_chunks_scale == base.prev_chunks_scale
+            pa = 0 if base.prefix_video is None else base.prefix_video.shape[1]
+            pb = 0 if inp.prefix_video is None else inp.prefix_video.shape[1]
+            assert pa == pb, "dp batch: prefix lengths must match (lockstep schedule)"
+            # the null caption slab is model-derived (one empty-prompt T5
+            # embed per model) — the batch shares the base request's copy
+            assert inp.null_len == base.null_len, "dp batch: null_len must match"
+
+        super().__init__(config, params, base, keys[0])
+        self.R = R = len(inps)
+
+        mesh = mesh_lib.get_mesh()
+        if mesh is not None and mesh.shape[mesh_lib.AXIS_DP] > 1:
+            dp = mesh.shape[mesh_lib.AXIS_DP]
+            assert R % dp == 0, f"batch size {R} must divide over dp={dp}"
+        if mesh is not None:
+            assert (
+                mesh.shape[mesh_lib.AXIS_CP] * mesh.shape[mesh_lib.AXIS_TP] == 1
+            ), "dp request batching requires a dp-only mesh (cp=tp=1); combine with model parallelism by sizing dp groups instead"
+
+        # ---- stack per-request state [R, ...] --------------------------------
+        self.xs = jax.vmap(
+            lambda k: jax.random.normal(k, base.latent_size, dtype=jnp.float32)
+        )(jnp.stack(list(keys)))
+        self.cache = jnp.broadcast_to(self.cache, (R,) + self.cache.shape) + jnp.zeros(
+            (R,) + (1,) * self.cache.ndim, self.cache.dtype
+        )
+
+        embs, lens = [], []
+        for inp in inps:
+            if inp.has_text:
+                embs.append(jnp.asarray(inp.caption_embs))
+                lens.append(np.asarray(inp.caption_lens, np.int32))
+            else:
+                embs.append(
+                    jnp.broadcast_to(inp.null_emb, inp.caption_embs.shape)
+                    + jnp.zeros_like(inp.caption_embs)
+                )
+                lens.append(np.full(inp.caption_lens.shape, inp.null_len, np.int32))
+        self._text_embs = jnp.stack(embs)  # [R, n_chunks, L, C]
+        self._lens_eff = np.stack(lens)  # [R, n_chunks]
+
+        if base.prefix_video is not None:
+            bufs = []
+            pad_T = self.chunk_num * self.cw
+            for inp in inps:
+                pv = inp.prefix_video.astype(jnp.float32)
+                bufs.append(jnp.pad(pv, ((0, 0), (0, pad_T - pv.shape[1]), (0, 0), (0, 0))))
+            self.prefix_buf = jnp.stack(bufs)
+        else:
+            self.prefix_buf = jnp.broadcast_to(
+                self.prefix_buf, (R,) + self.prefix_buf.shape
+            ) + jnp.zeros((R,) + (1,) * self.prefix_buf.ndim, self.prefix_buf.dtype)
+
+        # place batched state on the dp axis before the first step so the
+        # donated buffers keep that layout for the whole walk
+        if mesh is not None and not mesh_lib.mesh_is_trivial(mesh):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(mesh, P(mesh_lib.AXIS_DP))
+            self.xs = jax.device_put(self.xs, s)
+            self.cache = jax.device_put(self.cache, s)
+            self.prefix_buf = jax.device_put(self.prefix_buf, s)
+            self._text_embs = jax.device_put(self._text_embs, s)
+
+        (self._jit_cfg3, self._jit_cfg1, self._jit_warmup, self._jit_roll) = _batched_steps(
+            config
+        )

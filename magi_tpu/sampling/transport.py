@@ -185,6 +185,10 @@ class ArdfSampler:
             self._text_embs = jnp.broadcast_to(
                 inp.null_emb, inp.caption_embs.shape
             ) + jnp.zeros_like(inp.caption_embs)
+        # effective caption lengths: null-slab length when the request has no
+        # text (ref: caption mask swap, video_generate.py:110-115)
+        cl = np.asarray(inp.caption_lens, np.int32)
+        self._lens_eff = cl if inp.has_text else np.full_like(cl, inp.null_len)
 
     # ----- per-step host arithmetic -------------------------------------
 
@@ -251,7 +255,8 @@ class ArdfSampler:
         dt = (t_after - t_before).astype(np.float32)
 
         # caption windows (host-side numpy lengths; device arrays sliced in-jit)
-        y_lens_win = self.inp.caption_lens[c_start:c_end].astype(np.int32)
+        # [..., window] — leading request axis when dp-batched
+        y_lens_win = self._lens_eff[..., c_start:c_end]
 
         use_prefix = self.prefix_len > 0
         # mirror prefix padding's t override on host for flag decisions
@@ -290,9 +295,7 @@ class ArdfSampler:
                 jnp.int32(sp),
                 jnp.int32(cache_sp),
                 self._text_embs,
-                jnp.asarray(
-                    y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
-                ),
+                jnp.asarray(y_lens_win),
                 inp.null_emb,
                 jnp.int32(inp.null_len),
                 jnp.asarray(tvec),
@@ -321,9 +324,7 @@ class ArdfSampler:
                 jnp.int32(sp),
                 jnp.int32(cache_sp),
                 self._text_embs,
-                jnp.asarray(
-                    y_lens_win if inp.has_text else np.full(n_den, inp.null_len, np.int32)
-                ),
+                jnp.asarray(y_lens_win),
                 inp.null_emb,
                 jnp.int32(inp.null_len),
                 jnp.asarray(tvec),
@@ -354,6 +355,7 @@ class ArdfSampler:
     def _emit(self, chunk_idx: int) -> Optional[np.ndarray]:
         cw = self.cw
         lo, hi = chunk_idx * cw, (chunk_idx + 1) * cw
+        # `...` keeps this valid under the dp-batched subclass ([R, C, T, H, W])
         if self.prefix_len > 0:
             if hi <= self.prefix_len:
                 return None
@@ -361,8 +363,8 @@ class ArdfSampler:
             # Keep the first 4-frames only for I2V (ref: video_generate.py:708-710)
             if chunk_idx == 0 and self.prefix_len == 1:
                 real_start = 0
-            return np.asarray(self.xs[:, real_start:hi])
-        return np.asarray(self.xs[:, lo:hi])
+            return np.asarray(self.xs[..., real_start:hi, :, :])
+        return np.asarray(self.xs[..., lo:hi, :, :])
 
     def _run_prefix_warmup(self) -> None:
         """Write the prefix video's clean KV into the cache
@@ -377,7 +379,7 @@ class ArdfSampler:
         self.cache = self._jit_warmup(
             self.params,
             self.cache,
-            self.prefix_buf[:, : n * self.cw],
+            self.prefix_buf[..., : n * self.cw, :, :],
             self.inp.null_emb,
             jnp.int32(self.inp.null_len),
             jnp.asarray(kv_s),

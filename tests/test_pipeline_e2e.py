@@ -82,6 +82,15 @@ def test_t2v_end_to_end(pipeline_env, tmp_path):
     assert _check_video(out) == 16  # num_frames
 
 
+def test_t2v_batched_end_to_end(pipeline_env, tmp_path):
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+
+    outs = [str(tmp_path / f"out_b{i}.mp4") for i in range(2)]
+    MagiPipeline(tiny_config_json(tmp_path)).run_text_to_video_batch(["a cat", "a dog"], outs)
+    for out in outs:
+        assert _check_video(out) == 16
+
+
 def test_i2v_end_to_end(pipeline_env, tmp_path):
     from PIL import Image
 
