@@ -50,6 +50,20 @@ def test_sharded_walk_matches_single_device(eight_devices):
         np.testing.assert_allclose(r, g, atol=2e-4, rtol=2e-4)
 
 
+def test_pp_sharded_walk_matches_single_device(eight_devices):
+    """pp2 x cp2 x tp2 — the 24B reference layout shape (pp_size:2, cp_size:4
+    on 8 GPUs, ref: README.md:201); pp = layer-dim weight sharding here."""
+    cfg = tiny_config(
+        model={"num_attention_heads": 8, "num_query_groups": 8, "hidden_size": 128, "kv_channels": 16},
+        engine={"pp_size": 2, "cp_size": 2, "tp_size": 2},
+    )
+    ref = run_walk(cfg, sharded=False, eight_devices=eight_devices)
+    got = run_walk(cfg, sharded=True, eight_devices=eight_devices)
+    assert len(ref) == len(got) == 2
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=2e-4, rtol=2e-4)
+
+
 def test_param_specs_cover_tree():
     cfg = mesh_cfg()
     params = init_dit_params(jax.random.PRNGKey(0), cfg)
