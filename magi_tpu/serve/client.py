@@ -71,6 +71,24 @@ class MagiVideoClient:
         url = self.base_url + resp.json()["download_url"]
         return self.download(url, output_path)
 
+    def generate_video_batch(
+        self,
+        prompts: list,
+        model_size: Optional[str] = None,
+        output_dir: Optional[str] = None,
+    ) -> list:
+        """TPU extension: N t2v prompts generated in one dp-batched walk."""
+        payload = {"prompts": prompts}
+        if model_size:
+            payload["model_size"] = model_size
+        resp = requests.post(f"{self.base_url}/generate", json=payload, timeout=self.timeout)
+        resp.raise_for_status()
+        out = []
+        for i, url in enumerate(resp.json()["download_urls"]):
+            dst = os.path.join(output_dir, os.path.basename(url)) if output_dir else None
+            out.append(self.download(self.base_url + url, dst))
+        return out
+
     def download(self, url: str, output_path: Optional[str] = None) -> str:
         output_path = output_path or os.path.basename(url)
         with requests.get(url, stream=True, timeout=self.timeout) as r:

@@ -115,6 +115,52 @@ def generate_magi_video(
     env.setdefault("OFFLOAD_VAE_CACHE", "true")
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
 
+    return _launch(cmd, root, env, output_path, show_progress, timeout)
+
+
+def generate_magi_video_batch(
+    prompts: list,
+    model_size: str = "4.5B",
+    config_file: Optional[str] = None,
+    output_dir: Optional[str] = None,
+    show_progress: bool = True,
+    timeout: Optional[float] = None,
+) -> dict:
+    """Batch t2v: one subprocess, N prompts denoised in lockstep over the
+    dp axis (TPU extension; the reference service is strictly one request
+    per subprocess).  Returns {"success", "output_paths": [...], ...}."""
+    assert prompts
+    root = _repo_root()
+    config_file = config_file or os.path.join(root, DEFAULT_CONFIGS.get(model_size, DEFAULT_CONFIGS["4.5B"]))
+    output_dir = output_dir or os.getenv("OUT_DIR", "/tmp/magi_outputs")
+    os.makedirs(output_dir, exist_ok=True)
+    outs = [os.path.join(output_dir, f"magi_{uuid.uuid4().hex}.mp4") for _ in prompts]
+
+    cmd = [
+        sys.executable, "-m", "magi_tpu.pipeline.entry",
+        "--config_file", config_file,
+        "--mode", "t2v",
+        "--prompts", *prompts,
+        "--output_paths", *outs,
+    ]
+    env = dict(os.environ)
+    env.setdefault("PAD_HQ", "true")
+    env.setdefault("PAD_DURATION", "true")
+    env.setdefault("OFFLOAD_T5_CACHE", "true")
+    env.setdefault("OFFLOAD_VAE_CACHE", "true")
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+
+    result = _launch(cmd, root, env, outs[0], show_progress, timeout)
+    if not result["success"]:
+        return result
+    finals = [p if os.path.exists(p) else p + ".npz" for p in outs]
+    missing = [p for p in finals if not os.path.exists(p)]
+    if missing:
+        return {**result, "success": False, "error": f"missing outputs: {missing}"}
+    return {**result, "output_paths": finals}
+
+
+def _launch(cmd, root, env, output_path, show_progress, timeout) -> dict:
     t0 = time.time()
     lines: list = []
     try:

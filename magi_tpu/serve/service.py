@@ -152,6 +152,27 @@ def route_completions(body: dict, base_url: str) -> dict:
 
 
 def route_generate(body: dict) -> dict:
+    prompts = body.get("prompts")
+    if prompts:  # TPU extension: dp-batched lockstep generation
+        if body.get("image_url"):
+            raise HTTPError(400, "batched generation is t2v-only")
+        from magi_tpu.serve.generator import generate_magi_video_batch
+
+        out = generate_magi_video_batch(
+            prompts,
+            model_size=body.get("model_size") or MAGI_MODEL_SIZE,
+            config_file=MAGI_CONFIG_FILE,
+            output_dir=OUT_DIR,
+        )
+        if not out.get("success"):
+            raise HTTPError(500, out.get("error") or "generation failed")
+        return {
+            "success": True,
+            "video_paths": out["output_paths"],
+            "download_urls": [f"/download/{os.path.basename(p)}" for p in out["output_paths"]],
+            "prompts": prompts,
+            "duration": out.get("duration", 0),
+        }
     prompt = body.get("prompt")
     if not prompt:
         raise HTTPError(400, "prompt required")

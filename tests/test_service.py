@@ -26,6 +26,18 @@ def server(tmp_path, monkeypatch):
         return {"success": True, "output_path": str(out), "duration": 0.1}
 
     monkeypatch.setattr(service, "generate_magi_video", fake_generate)
+
+    def fake_batch(prompts, **kw):
+        paths = []
+        for i, _ in enumerate(prompts):
+            out = tmp_path / f"vid_b{i}.mp4"
+            out.write_bytes(b"\x00fakevideo")
+            paths.append(str(out))
+        return {"success": True, "output_paths": paths, "duration": 0.1}
+
+    from magi_tpu.serve import generator
+
+    monkeypatch.setattr(generator, "generate_magi_video_batch", fake_batch)
     srv = ThreadingHTTPServer(("127.0.0.1", 0), service.MagiHandler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -75,6 +87,16 @@ def test_direct_generate(server):
     assert j["success"] and j["download_url"].startswith("/download/")
     vid = requests.get(server + j["download_url"], timeout=5)
     assert vid.status_code == 200
+
+
+def test_batch_generate(server):
+    r = requests.post(f"{server}/generate", json={"prompts": ["a", "b"]}, timeout=30)
+    assert r.status_code == 200, r.text
+    j = r.json()
+    assert j["success"] and len(j["download_urls"]) == 2
+    for url in j["download_urls"]:
+        vid = requests.get(server + url, timeout=5)
+        assert vid.status_code == 200 and vid.content.startswith(b"\x00fakevideo")
 
 
 def test_errors(server):
