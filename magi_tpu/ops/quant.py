@@ -118,6 +118,21 @@ QUANTIZABLE_SUFFIXES = (
 )
 
 
+@jax.jit
+def _quantize_stacked(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[L, in, out] -> (int8, scales [L, out]), layer-chunked so the fp32
+    temporaries stay one layer wide (a 9GB bf16 4.5B tree quantizes in-place
+    on a 16GB chip; a whole-leaf fp32 copy would RESOURCE_EXHAUST)."""
+
+    def one(wl):
+        amax = jnp.max(jnp.abs(wl).astype(jnp.float32), axis=0)
+        scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+        q = jnp.clip(jnp.round(wl.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    return lax.map(one, w)
+
+
 def quantize_params_int8(params: dict) -> dict:
     """Quantize the big DiT linears to int8 + per-channel scales
     (~2x weight memory, the saving fp8 buys the reference).  Stacked
@@ -137,7 +152,7 @@ def quantize_params_int8(params: dict) -> dict:
         keys = [str(getattr(kk, "key", kk)) for kk in path]
         path_str = "/".join(keys)
         if any(path_str.endswith(sfx) for sfx in QUANTIZABLE_SUFFIXES) and leaf.ndim == 3:
-            q, s = jax.vmap(quantize_int8)(leaf)
+            q, s = _quantize_stacked(leaf)
             set_path(new_tree, keys[:-1] + ["weight_q"], q)
             set_path(new_tree, keys[:-1] + ["weight_scale"], s)
         else:

@@ -14,6 +14,11 @@ Constraints (checked at construction): all requests must share latent
 geometry, step count, chunk count and prefix length — the lockstep schedule
 is what makes one jitted program serve the whole batch.  Mixed text/no-text
 is fine (per-request caption slabs + lengths).
+
+Memory: each request carries its own KV cache and activation set, so
+batch-per-chip is HBM-bound — 4.5B bf16 at 480p does NOT fit two requests
+on a 16GB v5e (measured RESOURCE_EXHAUSTED); size dp groups so each holds
+one request, or pair batching with int8 weights.
 """
 
 from __future__ import annotations
