@@ -487,8 +487,6 @@ def _cfg3_step(
 
     t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
     dw = n_den * cw
-    y_null = jnp.broadcast_to(null_emb[None], (n_seg, L, null_emb.shape[-1]))
-    lens_null = jnp.full((n_seg,), null_len, jnp.int32)
 
     if pack:
         # --- forward A: text-conditioned + unconditional branches PACKED
