@@ -5,10 +5,14 @@ The reference scales request throughput by replicating the whole engine per
 DP rank and scattering requests across ranks (ref: parallel_state.py data
 parallel groups + one SampleTransport per rank).  TPU-native equivalent:
 requests become a leading batch axis on the latent state / KV cache /
-captions, the per-step device functions are `jax.vmap`-ed over that axis,
-and the batch axis is sharded `P('dp')` on the serving mesh — XLA then runs
-each request's step on its own device group with zero cross-request
-communication, while the host loop stays a single scheduler.
+captions; the per-step device functions run under `shard_map` over the dp
+mesh axis with an inner `lax.map` over each group's local requests — every
+device group executes its own UNBATCHED step program with zero
+cross-request communication, while the host loop stays a single scheduler.
+(Not `jax.vmap`: the streaming-DMA attention kernels hold kv in the ANY
+memory space, which Pallas cannot auto-batch on real TPUs; the map keeps
+kernel shapes unbatched, and with one request per dp group nothing
+serializes.)
 
 Constraints (checked at construction): all requests must share latent
 geometry, step count, chunk count and prefix length — the lockstep schedule
@@ -49,33 +53,78 @@ _CFG1_AXES = (None, 0, 0, None, None, 0, 0, None, None, None, None, None, None, 
 _WARMUP_AXES = (None, 0, 0, None, None, None, None, None, None)
 
 
-def _dp_constrain(tree):
-    """Pin the leading request axis of every array to the dp mesh axis."""
-    return jax.tree_util.tree_map(lambda a: mesh_lib.constraint(a, mesh_lib.AXIS_DP), tree)
+def _map_requests(f, in_axes):
+    """lax.map `f` over axis 0 of the in_axes==0 args (shared args closed
+    over).  NOT jax.vmap: the streaming-DMA attention kernels keep their kv
+    buffers in the ANY memory space (whole-array refs + manual DMA), which
+    Pallas cannot auto-batch on real TPU hardware — mapping keeps every
+    kernel call at its unbatched shape, and on a dp mesh the map runs once
+    per device group (local batch 1) so nothing actually serializes."""
+
+    def mapped(*args):
+        batched = tuple(a for a, ax in zip(args, in_axes) if ax == 0)
+
+        def one(ms):
+            it = iter(ms)
+            full = [next(it) if ax == 0 else a for a, ax in zip(args, in_axes)]
+            return f(*full)
+
+        return jax.lax.map(one, batched)
+
+    return mapped
+
+
+def _maybe_dp_shard(mapped, in_axes, n_out):
+    """On a dp mesh, wrap the request map in shard_map over the dp axis:
+    each device group runs its own unbatched step program on its local
+    requests — the TPU-native form of the reference's per-rank engine
+    replication (ref: parallel_state.py dp groups).  XLA never sees a
+    batched kernel and no cross-request collectives exist."""
+    mesh = mesh_lib.get_mesh()
+    if mesh is None or mesh.shape[mesh_lib.AXIS_DP] == 1:
+        return mapped
+    from jax.sharding import PartitionSpec as P
+
+    def wrapper(*args):
+        specs = tuple(
+            P(mesh_lib.AXIS_DP) if ax == 0 else jax.tree_util.tree_map(lambda _: P(), a)
+            for a, ax in zip(args, in_axes)
+        )
+        fn = jax.shard_map(
+            mapped,
+            mesh=mesh,
+            in_specs=specs,
+            out_specs=tuple([P(mesh_lib.AXIS_DP)] * n_out) if n_out > 1 else P(mesh_lib.AXIS_DP),
+            check_vma=False,
+        )
+        return fn(*args)
+
+    return wrapper
 
 
 def _batched_steps(config: MagiConfig):
-    key = (id(config), "dp_batch")
+    key = (id(config), "dp_batch", id(mesh_lib.get_mesh()))
     if key not in _BATCH_JIT_CACHE:
 
         def cfg3(params, xs, cache, *rest, n_den, extra, use_prefix, pack):
             f = lambda *a: _cfg3_step(
                 config, *a, n_den=n_den, extra=extra, use_prefix=use_prefix, pack=pack
             )
-            out = jax.vmap(f, in_axes=_CFG3_AXES)(params, xs, cache, *rest)
-            return _dp_constrain(out)
+            g = _maybe_dp_shard(_map_requests(f, _CFG3_AXES), _CFG3_AXES, 2)
+            return g(params, xs, cache, *rest)
 
         def cfg1(params, xs, cache, *rest, n_den, extra, use_prefix, distill_nearly):
             f = lambda *a: _cfg1_step(
                 config, *a, n_den=n_den, extra=extra, use_prefix=use_prefix,
                 distill_nearly=distill_nearly,
             )
-            out = jax.vmap(f, in_axes=_CFG1_AXES)(params, xs, cache, *rest)
-            return _dp_constrain(out)
+            g = _maybe_dp_shard(_map_requests(f, _CFG1_AXES), _CFG1_AXES, 2)
+            return g(params, xs, cache, *rest)
 
         def warmup(params, cache, *rest, n_chunks):
             f = lambda *a: _prefix_warmup_step(config, *a, n_chunks=n_chunks)
-            return _dp_constrain(jax.vmap(f, in_axes=_WARMUP_AXES)(params, cache, *rest))
+            g = _maybe_dp_shard(_map_requests(f, _WARMUP_AXES), _WARMUP_AXES, 1)
+            return g(params, cache, *rest)
 
         _BATCH_JIT_CACHE[key] = (
             jax.jit(cfg3, static_argnames=("n_den", "extra", "use_prefix", "pack"),
@@ -83,7 +132,7 @@ def _batched_steps(config: MagiConfig):
             jax.jit(cfg1, static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
                     donate_argnums=(1, 2)),
             jax.jit(warmup, static_argnames=("n_chunks",), donate_argnums=(1,)),
-            jax.jit(lambda c, s: _dp_constrain(jnp.roll(c, -s, axis=3)), donate_argnums=(0,)),
+            jax.jit(lambda c, s: jnp.roll(c, -s, axis=3), donate_argnums=(0,)),
         )
     return _BATCH_JIT_CACHE[key]
 
