@@ -69,6 +69,13 @@ def test_batched_prefix_video():
     _compare(cfg, inps, keys)
 
 
+def test_batched_distill_cfg1():
+    cfg = tiny_config(engine={"distill": True}, runtime={"cfg_number": 1, "num_steps": 4, "window_size": 2})
+    inps = [make_input(cfg, 2, key=0), make_input(cfg, 2, key=1)]
+    keys = [jax.random.PRNGKey(11), jax.random.PRNGKey(12)]
+    _compare(cfg, inps, keys)
+
+
 def test_batched_on_dp_mesh(eight_devices):
     cfg = tiny_config()
     inps = [make_input(cfg, 2, key=i) for i in range(4)]
