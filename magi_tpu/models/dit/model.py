@@ -84,7 +84,7 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
         in_specs=(spec, spec, spec, P(), P()),
         out_specs=spec,
     )
-    return fn(q, k, v, kv_start, kv_end)
+    return _reshard_heads_to_tokens(fn(q, k, v, kv_start, kv_end))
 
 
 def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
@@ -114,7 +114,20 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
         in_specs=(qspec, kvspec, kvspec, P(), P(), P(), P()),
         out_specs=qspec,
     )
-    return fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e)
+    return _reshard_heads_to_tokens(fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e))
+
+
+def _reshard_heads_to_tokens(out):
+    """Reshard the attention output [S, hq, hd] from head-sharded
+    P(None, (cp,tp), None) back to Megatron layout P(cp, tp, None) while the
+    token/head dims are still separate ranks.  Done here it is an
+    all-to-all over cp (the Ulysses back-transform); left to the 2D
+    `reshape(S, hq*hd)` downstream, the merged feature dim mixes the
+    sharded head axis and XLA falls back to involuntary full
+    rematerialization (replicate + repartition, spmd_partitioner.cc:652)."""
+    from magi_tpu.parallel import mesh as mesh_lib
+
+    return mesh_lib.constraint(out, mesh_lib.AXIS_CP, mesh_lib.AXIS_TP, None)
 
 
 def layer_norm(x, params, eps: float, zero_centered: bool = False, compute_dtype=None):
@@ -357,10 +370,20 @@ def dit_forward(
         dt = jnp.broadcast_to(jnp.asarray(distill_factor, jnp.float32), t.shape)
         t_emb = t_emb + t_embedder_forward(params["t_embedder"], dt)
 
+    from magi_tpu.parallel.mesh import replicated
+
+    y = replicated(y)
     y_xattn, y_adaln = y_embedder_forward(params["y_embedder"], y, caption_dropout)
     if y_adaln.ndim == 1:
         y_adaln = y_adaln[None, :]
     condition = (t_emb + y_adaln).astype(jnp.float32)  # [n_seg, ch]
+    # Anchor the small condition tensors as replicated: they feed tp
+    # column-parallel matmuls / head-sharded attention in every layer, and
+    # letting XLA back-propagate those shardings into the embedder reshapes
+    # triggers involuntary full rematerialization (replicate+repartition
+    # all-gathers per layer at scale).
+    condition = replicated(condition)
+    y_xattn = replicated(y_xattn)
 
     h = tokens.astype(mc.params_dtype)
 

@@ -114,6 +114,20 @@ def constraint(x, *spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
+def replicated(x):
+    """Pin to fully-replicated.  Used for the small condition/caption
+    tensors (t_emb, condition, y_xattn): their consumers are tp
+    column-parallel matmuls and head-sharded attention, and without an
+    explicit anchor XLA back-propagates those shardings into the tiny
+    embedder reshapes and hits 'involuntary full rematerialization'
+    (spmd_partitioner.cc:652) — a replicate-then-repartition that becomes a
+    per-layer all-gather at 24B shapes."""
+    mesh = get_mesh()
+    if mesh_is_trivial(mesh):
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
+
+
 def dit_param_specs(params: dict) -> dict:
     """PartitionSpec pytree for the DiT parameter tree: tp column/row
     sharding on the big matmuls, pp(=layer-FSDP) on the stacked layer dim,
