@@ -87,11 +87,27 @@ def _meta(
 _JIT_CACHE: dict = {}
 
 
+def _config_key(config: MagiConfig) -> str:
+    """Deterministic content key over all config fields.  Keying by
+    id(config) would silently reuse stale closures if a collected config's
+    id were recycled, and would needlessly recompile for equal-content
+    configs (e.g. one per request in the service)."""
+    import dataclasses
+
+    return repr(
+        (
+            dataclasses.asdict(config.model_config),
+            dataclasses.asdict(config.runtime_config),
+            dataclasses.asdict(config.engine_config),
+        )
+    )
+
+
 def _jitted_steps(config: MagiConfig):
-    """jit closures cached by config identity — creating a new sampler must
+    """jit closures cached by config content — creating a new sampler must
     not retrace/recompile (the reference's CUDA-graph reuse concern,
     solved here by jit-cache hygiene)."""
-    key = id(config)
+    key = _config_key(config)
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = (
             jax.jit(

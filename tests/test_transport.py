@@ -140,3 +140,20 @@ def test_walk_many_round_robin():
         assert len(many[r]) == 2
         for a, b in zip(solo[r], many[r]):
             np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_jit_cache_keyed_by_content():
+    """Equal-content configs share jit closures; a mutated config does not
+    (id()-keying could silently serve stale closures after id reuse)."""
+    import dataclasses
+
+    from magi_tpu.sampling.transport import _jitted_steps
+
+    a = tiny_config()
+    b = tiny_config()
+    assert a is not b
+    assert _jitted_steps(a) is _jitted_steps(b)
+
+    c = tiny_config()
+    c.runtime_config = dataclasses.replace(c.runtime_config, num_steps=c.runtime_config.num_steps + 8)
+    assert _jitted_steps(c) is not _jitted_steps(a)
