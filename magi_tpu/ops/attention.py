@@ -52,6 +52,7 @@ from magi_tpu.core.utils import round_up
 
 NUM_LANES = 128
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+LOG2E = 1.4426950408889634  # log2(e): softmax runs in exp2 domain (exp(x) = exp2(x*log2e), one fewer VPU multiply per element)
 
 
 def _seg_attn_kernel(
@@ -97,7 +98,7 @@ def _seg_attn_kernel(
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k]
-        s *= sm_scale
+        s *= sm_scale * LOG2E  # exp2-domain softmax
 
         # Range mask on absolute kv positions (only boundary tiles actually
         # mask anything; VPU cost is negligible next to the MXU matmuls).
@@ -112,11 +113,12 @@ def _seg_attn_kernel(
 
         repeats, rem = divmod(block_k, NUM_LANES)
         assert rem == 0, f"block_k must be a multiple of {NUM_LANES}"
-        p = jnp.exp(s - jnp.tile(m_next, (1, repeats)))
+        p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
 
-        alpha = jnp.exp(m_prev - m_next)
-        l_corr = alpha * l_prev
-        l_next = jnp.sum(p, axis=1)[:, None] + l_corr
+        alpha = jnp.exp2(m_prev - m_next)
+        # Deferred normalization (flash-v2): acc stays unnormalized until the
+        # final store — one rescale per tile instead of two + a reciprocal.
+        l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
 
         hd_repeats, rem = divmod(head_dim, NUM_LANES)
         if rem:
@@ -127,19 +129,40 @@ def _seg_attn_kernel(
 
         m_scr[...] = m_next
         l_scr[...] = l_next
-        l_next_inv_safe = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
-        acc_scr[...] *= l_broadcast(l_corr * l_next_inv_safe)
         v = v_ref[0]
         o_curr = lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        acc_scr[...] += o_curr * l_broadcast(l_next_inv_safe)
+        acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + o_curr
 
     @pl.when(kv_idx == num_kv_tiles - 1)
     def _store():
-        o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+        head_dim = acc_scr.shape[-1]
+        l = l_scr[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        if head_dim < NUM_LANES:
+            l_inv = l_inv[:, :head_dim]
+        else:
+            l_inv = jnp.tile(l_inv, (1, head_dim // NUM_LANES))
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
 
 
 def _pick_block(n: int, preferred: int) -> int:
     return min(preferred, round_up(n, NUM_LANES))
+
+
+# The fp32 s/p score tiles live on the Mosaic kernel stack, which is capped at
+# 16MB scoped VMEM on v5e; rows*block_k*8B plus smaller temps must stay under
+# it with headroom (measured: 1.5M elems -> 16.91M stack, just over).
+_MAX_SCORE_ELEMS = 1_048_576  # rows * block_k <= 1M -> s+p = 8MB + temps
+
+
+def _fit_group_blocks(q_per_kv: int, block_q: int, block_k: int) -> tuple[int, int]:
+    """Shrink (block_q, block_k) until the GQA-folded score tile
+    (q_per_kv*block_q, block_k) fits the kernel stack budget."""
+    while q_per_kv * block_q * block_k > _MAX_SCORE_ELEMS and block_k > 512:
+        block_k //= 2
+    while q_per_kv * block_q * block_k > _MAX_SCORE_ELEMS and block_q > 128:
+        block_q //= 2
+    return block_q, block_k
 
 
 def segmented_attention(
@@ -244,11 +267,11 @@ def _seg_attn_kernel_v2(
     kv_start_ref,
     kv_end_ref,
     # inputs
-    q_ref,  # [1, 1, block_q, hd] VMEM
+    q_ref,  # [1, 1, q_per_kv, block_q, hd] VMEM — the whole GQA group
     k_hbm,  # [hk, kv_pad, hd] ANY/HBM
     v_hbm,  # [hk, kv_pad, hd] ANY/HBM
     # outputs
-    o_ref,  # [1, 1, block_q, hd]
+    o_ref,  # [1, 1, q_per_kv, block_q, hd]
     # scratch
     k_buf,  # [2, block_k, hd] VMEM
     v_buf,  # [2, block_k, hd] VMEM
@@ -264,10 +287,15 @@ def _seg_attn_kernel_v2(
     """Inner-loop variant: kv tiles are streamed with double-buffered DMA
     over exactly [lo, hi) — no grid steps are spent on out-of-range tiles
     (the canonical-grid version revisits them, ~2x overhead for MAGI's
-    block-causal range patterns)."""
+    block-causal range patterns).
+
+    The grid walks KV heads, not Q heads: the q_per_kv query heads of a GQA
+    group share their kv stream, folded into the matmul row dimension — kv
+    HBM traffic drops q_per_kv× (6× at 24B's 48q/8kv) and the qk matmul gets
+    q_per_kv× taller rows.  This kernel is DMA-bound at MAGI shapes without
+    the fold (measured: DMA floor was 39% of runtime at 24B-720p w4)."""
     seg = pl.program_id(0)
-    head = pl.program_id(1)
-    kv_head = head // q_per_kv
+    kv_head = pl.program_id(1)
 
     start = kv_start_ref[seg]
     end = kv_end_ref[seg]
@@ -290,6 +318,38 @@ def _seg_attn_kernel_v2(
         for c in dma(0, lo):
             c.start()
 
+        def tile_compute(i, slot, masked: bool):
+            rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
+            q = q_ref[0, 0].reshape(rows, head_dim)
+            k = k_buf[slot]
+            s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s *= sm_scale * LOG2E  # exp2-domain softmax
+            if masked:
+                col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
+                valid = jnp.logical_and(col >= start, col < end)
+                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            repeats = block_k // NUM_LANES
+            p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+            alpha = jnp.exp2(m_prev - m_next)
+            # deferred normalization: acc stays unnormalized until the store
+            l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
+            hd_repeats, rem = divmod(head_dim, NUM_LANES)
+            if rem:
+                l_broadcast = lambda l: l[:, :head_dim]
+            else:
+                l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            v = v_buf[slot]
+            acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
         def body(i, _):
             slot = lax.rem(i - lo, 2)
             nxt = lax.rem(i - lo + 1, 2)
@@ -302,45 +362,27 @@ def _seg_attn_kernel_v2(
             for c in dma(slot, i):
                 c.wait()
 
-            block_q, head_dim = acc_scr.shape
-            q = q_ref[0, 0]
-            k = k_buf[slot]
-            s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            s *= sm_scale
-            # only boundary tiles can contain out-of-range positions
+            # only boundary tiles can contain out-of-range positions; the
+            # scalar branch keeps iota/compare/select off interior tiles
             is_boundary = jnp.logical_or(i * block_k < start, (i + 1) * block_k > end)
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
-            valid = jnp.logical_or(
-                jnp.logical_not(is_boundary),
-                jnp.logical_and(col >= start, col < end),
-            )
-            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=1)[:, None]
-            m_next = jnp.maximum(m_prev, m_curr)
-            repeats = block_k // NUM_LANES
-            p = jnp.exp(s - jnp.tile(m_next, (1, repeats)))
-            alpha = jnp.exp(m_prev - m_next)
-            l_corr = alpha * l_prev
-            l_next = jnp.sum(p, axis=1)[:, None] + l_corr
-            hd_repeats, rem = divmod(head_dim, NUM_LANES)
-            if rem:
-                l_broadcast = lambda l: l[:, :head_dim]
-            else:
-                l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
-            m_scr[...] = m_next
-            l_scr[...] = l_next
-            l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
-            acc_scr[...] *= l_broadcast(l_corr * l_inv)
-            v = v_buf[slot]
-            acc_scr[...] += lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) * l_broadcast(l_inv)
+            @pl.when(is_boundary)
+            def _():
+                tile_compute(i, slot, masked=True)
+
+            @pl.when(jnp.logical_not(is_boundary))
+            def _():
+                tile_compute(i, slot, masked=False)
+
             return ()
 
         lax.fori_loop(lo, hi, body, (), unroll=False)
 
-    o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+    rows, head_dim = acc_scr.shape
+    l = l_scr[...]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    l_inv = l_inv[:, :head_dim] if head_dim < NUM_LANES else jnp.tile(l_inv, (1, head_dim // NUM_LANES))
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape[2:])
 
 
 def segmented_attention_v2(
@@ -375,13 +417,15 @@ def segmented_attention_v2(
 
     block_q = _pick_block(seg_len, block_q)
     block_k = _pick_block(kv_len, block_k)
+    block_q, block_k = _fit_group_blocks(q_per_kv, block_q, block_k)
     seg_pad = round_up(seg_len, block_q)
     kv_pad = round_up(kv_len, block_k)
 
     q_r = q.reshape(n_seg, seg_len, hq, hd)
     if seg_pad != seg_len:
         q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0), (0, 0)))
-    q_r = q_r.transpose(0, 2, 1, 3)
+    # [n_seg, hk, q_per_kv, seg_pad, hd]: GQA groups are contiguous in hq
+    q_r = q_r.transpose(0, 2, 1, 3).reshape(n_seg, hk, q_per_kv, seg_pad, hd)
     k_r = k.transpose(1, 0, 2)
     v_r = v.transpose(1, 0, 2)
     if kv_pad != kv_len:
@@ -389,7 +433,8 @@ def segmented_attention_v2(
         k_r = jnp.pad(k_r, pad)
         v_r = jnp.pad(v_r, pad)
 
-    grid = (n_seg, hq, seg_pad // block_q)
+    grid = (n_seg, hk, seg_pad // block_q)
+    rows = q_per_kv * block_q
 
     kernel = functools.partial(
         _seg_attn_kernel_v2, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv
@@ -398,31 +443,31 @@ def segmented_attention_v2(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+            pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+        out_specs=pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, block_k, hd), k.dtype),
             pltpu.VMEM((2, block_k, hd), v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows, hd), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_seg, hq, seg_pad, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_seg, hk, q_per_kv, seg_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), q_r, k_r, v_r)
 
-    out = out.transpose(0, 2, 1, 3)
+    out = out.reshape(n_seg, hq, seg_pad, hd).transpose(0, 2, 1, 3)
     if seg_pad != seg_len:
         out = out[:, :seg_len]
     return out.reshape(total_q, hq, hd)
@@ -435,7 +480,7 @@ def _seg_attn_kernel_two_source(
     r2_start_ref,
     r2_end_ref,
     # inputs
-    q_ref,  # [1, 1, block_q, hd] VMEM
+    q_ref,  # [1, 1, q_per_kv, block_q, hd] VMEM — the whole GQA group
     kv1_hbm,  # [2, hk, kv1_pad, hd] ANY (source 1: KV cache)
     kv2_hbm,  # [2, hk, kv2_pad, hd] ANY (source 2: current kv)
     # outputs
@@ -456,10 +501,12 @@ def _seg_attn_kernel_two_source(
     src1[r1_start, r1_end) then src2[r2_start, r2_end).  Lets the KV cache
     stay a read-only buffer (no per-layer cache⊕current view copy) — the
     functional analog of the reference's torch.cat(cache, current)
-    (ref: dit_module.py:931) without materializing it."""
+    (ref: dit_module.py:931) without materializing it.
+
+    Like `_seg_attn_kernel_v2`, the grid walks KV heads and folds the whole
+    GQA group into the matmul rows (q_per_kv× less kv DMA)."""
     seg = pl.program_id(0)
-    head = pl.program_id(1)
-    kv_head = head // q_per_kv
+    kv_head = pl.program_id(1)
 
     m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
@@ -474,6 +521,38 @@ def _seg_attn_kernel_two_source(
             return (
                 pltpu.make_async_copy(src_hbm.at[0, kv_head, pl.ds(off, block_k), :], k_buf.at[slot], sems.at[slot, 0]),
                 pltpu.make_async_copy(src_hbm.at[1, kv_head, pl.ds(off, block_k), :], v_buf.at[slot], sems.at[slot, 1]),
+            )
+
+        def tile_compute(i, slot, masked: bool):
+            rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
+            q = q_ref[0, 0].reshape(rows, head_dim)
+            k = k_buf[slot]
+            s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            s *= sm_scale * LOG2E  # exp2-domain softmax
+            if masked:
+                col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
+                valid = jnp.logical_and(col >= start, col < end)
+                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            repeats = block_k // NUM_LANES
+            p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+            alpha = jnp.exp2(m_prev - m_next)
+            # deferred normalization: acc stays unnormalized until the store
+            l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
+            hd_repeats, rem = divmod(head_dim, NUM_LANES)
+            if rem:
+                l_broadcast = lambda l: l[:, :head_dim]
+            else:
+                l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+            m_scr[...] = m_next
+            l_scr[...] = l_next
+            v = v_buf[slot]
+            acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
 
         @pl.when(lo < hi)
@@ -493,40 +572,17 @@ def _seg_attn_kernel_two_source(
                 for c in dma(slot, i):
                     c.wait()
 
-                block_q, head_dim = acc_scr.shape
-                q = q_ref[0, 0]
-                k = k_buf[slot]
-                s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-                s *= sm_scale
                 # only boundary tiles can contain out-of-range positions
                 is_boundary = jnp.logical_or(i * block_k < start, (i + 1) * block_k > end)
-                col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
-                valid = jnp.logical_or(
-                    jnp.logical_not(is_boundary),
-                    jnp.logical_and(col >= start, col < end),
-                )
-                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-                m_prev = m_scr[...]
-                l_prev = l_scr[...]
-                m_curr = jnp.max(s, axis=1)[:, None]
-                m_next = jnp.maximum(m_prev, m_curr)
-                repeats = block_k // NUM_LANES
-                p = jnp.exp(s - jnp.tile(m_next, (1, repeats)))
-                alpha = jnp.exp(m_prev - m_next)
-                l_corr = alpha * l_prev
-                l_next = jnp.sum(p, axis=1)[:, None] + l_corr
-                hd_repeats, rem = divmod(head_dim, NUM_LANES)
-                if rem:
-                    l_broadcast = lambda l: l[:, :head_dim]
-                else:
-                    l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
-                m_scr[...] = m_next
-                l_scr[...] = l_next
-                l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
-                acc_scr[...] *= l_broadcast(l_corr * l_inv)
-                v = v_buf[slot]
-                acc_scr[...] += lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) * l_broadcast(l_inv)
+                @pl.when(is_boundary)
+                def _():
+                    tile_compute(i, slot, masked=True)
+
+                @pl.when(jnp.logical_not(is_boundary))
+                def _():
+                    tile_compute(i, slot, masked=False)
+
                 return ()
 
             lax.fori_loop(lo, hi, body, (), unroll=False)
@@ -534,7 +590,11 @@ def _seg_attn_kernel_two_source(
     phase(kv1_hbm, r1_start_ref[seg], r1_end_ref[seg])
     phase(kv2_hbm, r2_start_ref[seg], r2_end_ref[seg])
 
-    o_ref[0, 0] = acc_scr[...].astype(o_ref.dtype)
+    head_dim = acc_scr.shape[-1]
+    l = l_scr[...]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    l_inv = l_inv[:, :head_dim] if head_dim < NUM_LANES else jnp.tile(l_inv, (1, head_dim // NUM_LANES))
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape[2:])
 
 
 def segmented_attention_two_source(
@@ -568,12 +628,14 @@ def segmented_attention_two_source(
 
     block_q = _pick_block(seg_len, block_q)
     block_k = _pick_block(max(kv1_len, kv2_len), block_k)
+    block_q, block_k = _fit_group_blocks(q_per_kv, block_q, block_k)
     seg_pad = round_up(seg_len, block_q)
 
     q_r = q.reshape(n_seg, seg_len, hq, hd)
     if seg_pad != seg_len:
         q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0), (0, 0)))
-    q_r = q_r.transpose(0, 2, 1, 3)
+    # [n_seg, hk, q_per_kv, seg_pad, hd]: GQA groups are contiguous in hq
+    q_r = q_r.transpose(0, 2, 1, 3).reshape(n_seg, hk, q_per_kv, seg_pad, hd)
 
     def prep(kv, n):
         pad = round_up(max(n, 1), block_k)
@@ -585,7 +647,8 @@ def segmented_attention_two_source(
     kv1_r = prep(kv1, kv1_len)
     kv2_r = prep(kv2, kv2_len)
 
-    grid = (n_seg, hq, seg_pad // block_q)
+    grid = (n_seg, hk, seg_pad // block_q)
+    rows = q_per_kv * block_q
     kernel = functools.partial(
         _seg_attn_kernel_two_source, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv
     )
@@ -593,24 +656,24 @@ def segmented_attention_two_source(
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+            pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, hd), lambda s, h, qt, *_: (s, h, qt, 0)),
+        out_specs=pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, block_k, hd), kv2.dtype),
             pltpu.VMEM((2, block_k, hd), kv2.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+            pltpu.VMEM((rows, hd), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_seg, hq, seg_pad, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_seg, hk, q_per_kv, seg_pad, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -620,7 +683,7 @@ def segmented_attention_two_source(
         r2_start.astype(jnp.int32), r2_end.astype(jnp.int32),
         q_r, kv1_r, kv2_r,
     )
-    out = out.transpose(0, 2, 1, 3)
+    out = out.reshape(n_seg, hq, seg_pad, hd).transpose(0, 2, 1, 3)
     if seg_pad != seg_len:
         out = out[:, :seg_len]
     return out.reshape(total_q, hq, hd)
