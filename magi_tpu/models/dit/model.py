@@ -78,11 +78,15 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
     )
     heads = (mesh_lib.AXIS_CP, mesh_lib.AXIS_TP)
     spec = P(None, heads, None)
+    # manual over cp/tp only: dp (request batching) and pp stay auto, so this
+    # nests inside DpBatchedSampler's dp-manual shard_map (ref dp groups
+    # coexisting with cp/pp, parallel_state.py:332)
     fn = jax.shard_map(
         functools.partial(impl, seg_len=seg_len),
-        mesh=mesh,
+        mesh=mesh_lib.shard_map_mesh(),
         in_specs=(spec, spec, spec, P(), P()),
         out_specs=spec,
+        axis_names={mesh_lib.AXIS_CP, mesh_lib.AXIS_TP},
     )
     return _reshard_heads_to_tokens(fn(q, k, v, kv_start, kv_end))
 
@@ -110,9 +114,10 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
     kvspec = P(None, None, heads, None)
     fn = jax.shard_map(
         functools.partial(impl, seg_len=seg_len),
-        mesh=mesh,
+        mesh=mesh_lib.shard_map_mesh(),
         in_specs=(qspec, kvspec, kvspec, P(), P(), P(), P()),
         out_specs=qspec,
+        axis_names={mesh_lib.AXIS_CP, mesh_lib.AXIS_TP},
     )
     return _reshard_heads_to_tokens(fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e))
 
@@ -166,6 +171,45 @@ def _pdot(x, p: dict, high_precision: bool = False):
     return _dot(x, p["weight"], high_precision)
 
 
+def _linears_shared(x, plist, act_ok, high_precision: bool = False):
+    """Apply several linears to one shared input.  When params carry int8
+    weights and `act_ok` is true, `x` is dynamically quantized ONCE (per-row
+    scales, amortized over all matmuls in plist) and each matmul runs
+    int8 x int8 -> int32 on the MXU — the TPU analog of the reference's fp8
+    activation quantization (div_clamp_to + bmm_fp8, ref:
+    dit_module.py:364-384, 431-460).  Layers 0 and L-1 pass act_ok=False and
+    keep bf16 activations over dequantized weights, mirroring the
+    reference's first/last-layer bf16 policy (ref: dit_module.py:407)."""
+    if "weight_q" not in plist[0]:
+        return tuple(_dot(x, pp["weight"], high_precision) for pp in plist)
+
+    from magi_tpu.ops.quant import (
+        act_quant_rowwise,
+        quantized_matmul,
+        quantized_matmul_i8,
+        quantized_matmul_i8_reference,
+        quantized_matmul_reference,
+    )
+
+    use_pallas = _use_pallas()
+    qmm_i8 = quantized_matmul_i8 if use_pallas else quantized_matmul_i8_reference
+    qmm_deq = quantized_matmul if use_pallas else quantized_matmul_reference
+
+    def i8_branch(xx):
+        xq, rs = act_quant_rowwise(xx)
+        return tuple(
+            qmm_i8(xq, rs, pp["weight_q"], pp["weight_scale"], out_dtype=xx.dtype)
+            for pp in plist
+        )
+
+    def deq_branch(xx):
+        return tuple(
+            qmm_deq(xx, pp["weight_q"], pp["weight_scale"]).astype(xx.dtype) for pp in plist
+        )
+
+    return lax.cond(act_ok, i8_branch, deq_branch, x)
+
+
 def _bias_modulate_add(x, residual, gate, post_norm_params, eps, zero_centered, n_seg):
     """fp32(gate[seg] * x) -> post_norm -> +residual (ref: dit_module.py:292-307).
     The reference's Triton range_mod gather (N4) reduces to a per-segment
@@ -188,6 +232,7 @@ def attention_forward(
     cache_l: jnp.ndarray,  # [max_tok, hk, 2*hd]
     meta: ForwardMeta,
     high_precision: bool,
+    act_quant_ok=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """FullyParallelAttention (ref: dit_module.py:851-1246).
     Returns (core_attn_out [S, hq*hd], xattn_out [S, hq*hd], new_cache_l)."""
@@ -201,16 +246,23 @@ def attention_forward(
 
     mixed = layer_norm(x, p["linear_qkv"]["layer_norm"], eps)  # shared pre-LN, plain LN
 
+    # q/qx/k/v share `mixed`: one activation quantization covers all four
+    q, qx, k, v = _linears_shared(
+        mixed,
+        [p["linear_qkv"]["q"], p["linear_qkv"]["qx"], p["linear_qkv"]["k"], p["linear_qkv"]["v"]],
+        act_quant_ok,
+    )
+
     # --- self-attn q/k/v with fp32 QK-norm + rope (ref: dit_module.py:953-1003) ---
-    q = _pdot(mixed, p["linear_qkv"]["q"]).reshape(S, hq, hd)
+    q = q.reshape(S, hq, hd)
     q = layer_norm(q, p["q_layernorm"], eps, zc, compute_dtype=jnp.float32)
     q = apply_rotary(q, sin, cos).astype(x.dtype)
 
-    k = _pdot(mixed, p["linear_qkv"]["k"]).reshape(S, hk, hd)
+    k = k.reshape(S, hk, hd)
     k = layer_norm(k, p["k_layernorm"], eps, zc, compute_dtype=jnp.float32)
     k = apply_rotary(k, sin, cos).astype(x.dtype)
 
-    v = _pdot(mixed, p["linear_qkv"]["v"]).reshape(S, hk, hd)
+    v = v.reshape(S, hk, hd)
     kv = jnp.stack([k, v], axis=0)  # [2, S, hk, hd]
 
     # --- KV cache (ref: dit_module.py:891-946) ---
@@ -243,12 +295,13 @@ def attention_forward(
     core = core.reshape(S, hq * hd)
 
     # --- cross-attn (ref: dit_module.py:1005-1021, 1098-1136) ---
-    qx = _pdot(mixed, p["linear_qkv"]["qx"]).reshape(S, hq, hd)
+    qx = qx.reshape(S, hq, hd)
     qx = layer_norm(qx, p["q_layernorm_xattn"], eps, zc)
 
     L = y_xattn.shape[1]
     y_flat = y_xattn.reshape(n_seg * L, -1).astype(x.dtype)
-    kv_x = _pdot(y_flat, p["linear_kv_xattn"]).reshape(n_seg * L, hk, 2 * hd)
+    (kv_x,) = _linears_shared(y_flat, [p["linear_kv_xattn"]], act_quant_ok)
+    kv_x = kv_x.reshape(n_seg * L, hk, 2 * hd)
     k_x = layer_norm(kv_x[..., :hd], p["k_layernorm_xattn"], eps, zc)
     v_x = kv_x[..., hd:]
 
@@ -271,6 +324,7 @@ def layer_forward(
     cache_l: jnp.ndarray,
     meta: ForwardMeta,
     high_precision: bool,
+    act_quant_ok=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One parallel-attention transformer layer (ref: dit_module.py:1252-1367)."""
     from magi_tpu.parallel.mesh import AXIS_CP, constraint
@@ -281,7 +335,8 @@ def layer_forward(
     residual = x
 
     core, xattn, new_cache_l = attention_forward(
-        p["self_attention"], cfg, x, y_xattn, sin, cos, cache_l, meta, high_precision
+        p["self_attention"], cfg, x, y_xattn, sin, cos, cache_l, meta, high_precision,
+        act_quant_ok,
     )
 
     # concat + TP8-legacy head interleave (ref: dit_module.py:1332-1338)
@@ -289,7 +344,10 @@ def layer_forward(
     attn_out = jnp.concatenate([core, xattn], axis=-1)  # [S, 2*hq*hd]
     two_d = attn_out.shape[-1]
     attn_out = attn_out.reshape(S, 2, 8, two_d // 16).transpose(0, 2, 1, 3).reshape(S, two_d)
-    attn_out = _pdot(attn_out, p["self_attention"]["linear_proj"], high_precision=high_precision)
+    (attn_out,) = _linears_shared(
+        attn_out, [p["self_attention"]["linear_proj"]], act_quant_ok,
+        high_precision=high_precision,
+    )
     attn_out = attn_out.astype(x.dtype)
 
     # gating (ref: dit_module.py:1348-1367)
@@ -301,13 +359,13 @@ def layer_forward(
 
     residual = x
     h = layer_norm(x, p["mlp"]["layer_norm"], eps)  # plain LN
-    h = _pdot(h, p["mlp"]["linear_fc1"])
+    (h,) = _linears_shared(h, [p["mlp"]["linear_fc1"]], act_quant_ok)
     if cfg.gated_linear_unit:
         d = h.shape[-1] // 2
         h = jax.nn.silu(h[..., :d].astype(jnp.float32)).astype(h.dtype) * h[..., d:]
     else:
         h = jax.nn.gelu(h, approximate=False)
-    h = _pdot(h, p["mlp"]["linear_fc2"])
+    (h,) = _linears_shared(h, [p["mlp"]["linear_fc2"]], act_quant_ok)
     x = _bias_modulate_add(h, residual, gate_mlp, p["mlp_post_norm"], eps, zc, meta.n_segments)
     x = constraint(x, AXIS_CP, None)
     return x, new_cache_l
@@ -388,15 +446,21 @@ def dit_forward(
     h = tokens.astype(mc.params_dtype)
 
     # --- transformer blocks via scan (ref: dit_module.py:1373-1441) ---
+    # first/last layers keep bf16 activations on the quantized path
+    # (ref: dit_module.py:407); middle layers run int8 activation quant
+    layer_idx = jnp.arange(mc.num_layers, dtype=jnp.int32)
+
     def body(carry, xs):
-        blk_params, cache_l = xs
+        blk_params, cache_l, idx = xs
+        act_ok = jnp.logical_and(idx > 0, idx < mc.num_layers - 1)
         out, new_cache_l = layer_forward(
             blk_params, mc, carry, condition, y_xattn, sin, cos, cache_l, meta,
             high_precision=ec.high_precision_matmul,
+            act_quant_ok=act_ok,
         )
         return out, new_cache_l
 
-    h, new_cache = lax.scan(body, h, (params["blocks"], kv_cache))
+    h, new_cache = lax.scan(body, h, (params["blocks"], kv_cache, layer_idx))
 
     h = layer_norm(h.astype(jnp.float32), params["final_layernorm"], mc.layernorm_epsilon, mc.apply_layernorm_1p)
 

@@ -91,6 +91,17 @@ def mesh_is_trivial(mesh: Optional[Mesh]) -> bool:
     return mesh is None or mesh.devices.size == 1
 
 
+def shard_map_mesh():
+    """The mesh to hand a nested `jax.shard_map`: inside an already-manual
+    region (the dp-manual request-batching wrapper) the context AbstractMesh
+    — whose dp axis is typed Manual — must be passed, or shard_map rejects
+    the mesh mismatch; at top level, the concrete global mesh."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is not None and getattr(am, "axis_names", ()):
+        return am
+    return get_mesh()
+
+
 def seq_shards(mesh: Optional[Mesh]) -> int:
     return 1 if mesh is None else mesh.shape[AXIS_CP]
 

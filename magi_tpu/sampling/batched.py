@@ -79,7 +79,14 @@ def _maybe_dp_shard(mapped, in_axes, n_out):
     each device group runs its own unbatched step program on its local
     requests — the TPU-native form of the reference's per-rank engine
     replication (ref: parallel_state.py dp groups).  XLA never sees a
-    batched kernel and no cross-request collectives exist."""
+    batched kernel and no cross-request collectives exist.
+
+    Manual over `dp` ONLY (axis_names): cp/tp/pp stay auto-sharded, so each
+    dp group's step program still runs the model-parallel path (sharding
+    constraints + the cp/tp-manual attention shard_map nest inside) — the
+    composition of dp request batching with model parallelism that the
+    reference gets from dp groups coexisting with cp/pp
+    (ref: parallel_state.py:332)."""
     mesh = mesh_lib.get_mesh()
     if mesh is None or mesh.shape[mesh_lib.AXIS_DP] == 1:
         return mapped
@@ -95,6 +102,7 @@ def _maybe_dp_shard(mapped, in_axes, n_out):
             mesh=mesh,
             in_specs=specs,
             out_specs=tuple([P(mesh_lib.AXIS_DP)] * n_out) if n_out > 1 else P(mesh_lib.AXIS_DP),
+            axis_names={mesh_lib.AXIS_DP},
             check_vma=False,
         )
         return fn(*args)
@@ -103,7 +111,9 @@ def _maybe_dp_shard(mapped, in_axes, n_out):
 
 
 def _batched_steps(config: MagiConfig):
-    key = (id(config), "dp_batch", id(mesh_lib.get_mesh()))
+    from magi_tpu.sampling.transport import _config_key
+
+    key = (_config_key(config), "dp_batch", id(mesh_lib.get_mesh()))
     if key not in _BATCH_JIT_CACHE:
 
         def cfg3(params, xs, cache, *rest, n_den, extra, use_prefix, pack):
@@ -172,10 +182,6 @@ class DpBatchedSampler(ArdfSampler):
         if mesh is not None and mesh.shape[mesh_lib.AXIS_DP] > 1:
             dp = mesh.shape[mesh_lib.AXIS_DP]
             assert R % dp == 0, f"batch size {R} must divide over dp={dp}"
-        if mesh is not None:
-            assert (
-                mesh.shape[mesh_lib.AXIS_CP] * mesh.shape[mesh_lib.AXIS_TP] == 1
-            ), "dp request batching requires a dp-only mesh (cp=tp=1); combine with model parallelism by sizing dp groups instead"
 
         # ---- stack per-request state [R, ...] --------------------------------
         self.xs = jax.vmap(
@@ -212,13 +218,15 @@ class DpBatchedSampler(ArdfSampler):
             ) + jnp.zeros((R,) + (1,) * self.prefix_buf.ndim, self.prefix_buf.dtype)
 
         # place batched state on the dp axis before the first step so the
-        # donated buffers keep that layout for the whole walk
+        # donated buffers keep that layout for the whole walk; the KV cache
+        # additionally keeps its model-parallel layout within each dp group
         if mesh is not None and not mesh_lib.mesh_is_trivial(mesh):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             s = NamedSharding(mesh, P(mesh_lib.AXIS_DP))
+            cache_spec = P(mesh_lib.AXIS_DP, *mesh_lib.kv_cache_spec())
             self.xs = jax.device_put(self.xs, s)
-            self.cache = jax.device_put(self.cache, s)
+            self.cache = jax.device_put(self.cache, NamedSharding(mesh, cache_spec))
             self.prefix_buf = jax.device_put(self.prefix_buf, s)
             self._text_embs = jax.device_put(self._text_embs, s)
 

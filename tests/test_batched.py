@@ -92,6 +92,28 @@ def test_batched_on_dp_mesh(eight_devices):
             np.testing.assert_allclose(lat[r], ref[ci], atol=2e-4, rtol=2e-4)
 
 
+def test_batched_on_dp_cp_tp_mesh(eight_devices):
+    """dp request batching composed with model parallelism: a dp2 x cp2 x tp2
+    mesh serves 2 batched requests, each denoised by a 4-device cp x tp group
+    (ref: dp groups coexisting with cp/pp, parallel_state.py:332)."""
+    cfg = tiny_config(
+        model={"num_attention_heads": 8, "num_query_groups": 8, "hidden_size": 128, "kv_channels": 16},
+    )
+    inps = [make_input(cfg, 2, key=i) for i in range(2)]
+    for inp in inps[1:]:
+        inp.null_emb = inps[0].null_emb
+    keys = [jax.random.PRNGKey(20 + i) for i in range(2)]
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    refs = single_walks(cfg, params, inps, keys)
+
+    mesh_lib.initialize_mesh(dp=2, cp=2, tp=2, devices=eight_devices)
+    sharded = mesh_lib.shard_dit_params(params)
+    got = batched_walk(cfg, sharded, inps, keys)
+    for ci, lat in got.items():
+        for r, ref in enumerate(refs):
+            np.testing.assert_allclose(lat[r], ref[ci], atol=2e-4, rtol=2e-4)
+
+
 def test_batch_shape_validation():
     cfg = tiny_config()
     inps = [make_input(cfg, 2, key=0), make_input(cfg, 3, key=1)]

@@ -7,9 +7,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from magi_tpu.ops.quant import (
+    act_quant_rowwise,
     quantize_int8,
     quantize_params_int8,
     quantized_matmul,
+    quantized_matmul_i8,
+    quantized_matmul_i8_reference,
     quantized_matmul_reference,
 )
 
@@ -46,6 +49,33 @@ def test_quantized_matmul_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=5e-2, rtol=5e-2
     )
+
+
+def test_act_quant_rowwise():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(64, 96)) * rng.uniform(0.1, 10, size=(64, 1)), jnp.float32)
+    xq, rs = act_quant_rowwise(x)
+    deq = xq.astype(np.float32) * np.asarray(rs)[:, None]
+    amax = np.abs(np.asarray(x)).max(1, keepdims=True)
+    assert (np.abs(deq - np.asarray(x)) <= amax / 127.0 + 1e-6).all()
+
+
+def test_quantized_matmul_i8_matches_reference():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(130, 96)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(96, 200)), jnp.float32)
+    wq, ws = quantize_int8(w)
+    xq, rs = act_quant_rowwise(x)
+    got = quantized_matmul_i8(
+        xq, rs, wq, ws, out_dtype=jnp.float32, interpret=True,
+        block_m=128, block_k=128, block_n=128,
+    )
+    want = quantized_matmul_i8_reference(xq, rs, wq, ws, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3)
+    # and the int8 x int8 product approximates the fp matmul
+    fp = np.asarray(x) @ np.asarray(w)
+    rel = np.abs(np.asarray(want) - fp).max() / np.abs(fp).max()
+    assert rel < 0.05, rel
 
 
 def test_quantize_params_tree():
