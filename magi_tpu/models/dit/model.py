@@ -76,17 +76,17 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
     assert hq % n_shards == 0 and hk % n_shards == 0, (
         f"heads ({hq}q/{hk}kv) must divide cp*tp={n_shards}"
     )
-    heads = (mesh_lib.AXIS_CP, mesh_lib.AXIS_TP)
+    heads = mesh_lib.HEAD_AXES
     spec = P(None, heads, None)
-    # manual over cp/tp only: dp (request batching) and pp stay auto, so this
-    # nests inside DpBatchedSampler's dp-manual shard_map (ref dp groups
+    # manual over cp/pp/tp: dp (request batching) stays auto, so this nests
+    # inside DpBatchedSampler's dp-manual shard_map (ref dp groups
     # coexisting with cp/pp, parallel_state.py:332)
     fn = jax.shard_map(
         functools.partial(impl, seg_len=seg_len),
         mesh=mesh_lib.shard_map_mesh(),
         in_specs=(spec, spec, spec, P(), P()),
         out_specs=spec,
-        axis_names={mesh_lib.AXIS_CP, mesh_lib.AXIS_TP},
+        axis_names=set(heads),
     )
     return _reshard_heads_to_tokens(fn(q, k, v, kv_start, kv_end))
 
@@ -109,7 +109,7 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
     if mesh_lib.mesh_is_trivial(mesh) or n_shards == 1:
         return impl(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, seg_len=seg_len)
 
-    heads = (mesh_lib.AXIS_CP, mesh_lib.AXIS_TP)
+    heads = mesh_lib.HEAD_AXES
     qspec = P(None, heads, None)
     kvspec = P(None, None, heads, None)
     fn = jax.shard_map(
@@ -117,7 +117,7 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
         mesh=mesh_lib.shard_map_mesh(),
         in_specs=(qspec, kvspec, kvspec, P(), P(), P(), P()),
         out_specs=qspec,
-        axis_names={mesh_lib.AXIS_CP, mesh_lib.AXIS_TP},
+        axis_names=set(heads),
     )
     return _reshard_heads_to_tokens(fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e))
 
@@ -132,7 +132,7 @@ def _reshard_heads_to_tokens(out):
     rematerialization (replicate + repartition, spmd_partitioner.cc:652)."""
     from magi_tpu.parallel import mesh as mesh_lib
 
-    return mesh_lib.constraint(out, mesh_lib.AXIS_CP, mesh_lib.AXIS_TP, None)
+    return mesh_lib.constraint(out, mesh_lib.SEQ_AXES, mesh_lib.AXIS_TP, None)
 
 
 def layer_norm(x, params, eps: float, zero_centered: bool = False, compute_dtype=None):
@@ -327,11 +327,11 @@ def layer_forward(
     act_quant_ok=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One parallel-attention transformer layer (ref: dit_module.py:1252-1367)."""
-    from magi_tpu.parallel.mesh import AXIS_CP, constraint
+    from magi_tpu.parallel.mesh import SEQ_AXES, constraint
 
     eps = cfg.layernorm_epsilon
     zc = cfg.apply_layernorm_1p
-    x = constraint(x, AXIS_CP, None)  # sequence-sharded between attentions
+    x = constraint(x, SEQ_AXES, None)  # sequence-sharded between attentions
     residual = x
 
     core, xattn, new_cache_l = attention_forward(
@@ -367,7 +367,7 @@ def layer_forward(
         h = jax.nn.gelu(h, approximate=False)
     (h,) = _linears_shared(h, [p["mlp"]["linear_fc2"]], act_quant_ok)
     x = _bias_modulate_add(h, residual, gate_mlp, p["mlp_post_norm"], eps, zc, meta.n_segments)
-    x = constraint(x, AXIS_CP, None)
+    x = constraint(x, SEQ_AXES, None)
     return x, new_cache_l
 
 
@@ -450,17 +450,45 @@ def dit_forward(
     # (ref: dit_module.py:407); middle layers run int8 activation quant
     layer_idx = jnp.arange(mc.num_layers, dtype=jnp.int32)
 
-    def body(carry, xs):
-        blk_params, cache_l, idx = xs
-        act_ok = jnp.logical_and(idx > 0, idx < mc.num_layers - 1)
-        out, new_cache_l = layer_forward(
-            blk_params, mc, carry, condition, y_xattn, sin, cos, cache_l, meta,
-            high_precision=ec.high_precision_matmul,
-            act_quant_ok=act_ok,
-        )
-        return out, new_cache_l
+    from magi_tpu.parallel import mesh as mesh_lib
 
-    h, new_cache = lax.scan(body, h, (params["blocks"], kv_cache, layer_idx))
+    if mesh_lib.pp_num_shards() > 1:
+        # layer-FSDP over pp: the stacked weights stay sharded 1/pp on the
+        # layer dim; each scan step materializes one layer via a masked
+        # psum inside a pp-manual shard_map, double-buffered so the gather
+        # of layer i+1 overlaps layer i's compute.  (A plain scan over the
+        # pp-sharded stack hoists a FULL-stack all-gather out of the loop
+        # — measured, docs/pp_scaling.md.)
+        blocks = params["blocks"]
+        blk0 = mesh_lib.pp_gather_layer(blocks, jnp.int32(0))
+
+        def body_pp(carry, xs):
+            hh, blk = carry
+            cache_l, idx = xs
+            act_ok = jnp.logical_and(idx > 0, idx < mc.num_layers - 1)
+            out, new_cache_l = layer_forward(
+                blk, mc, hh, condition, y_xattn, sin, cos, cache_l, meta,
+                high_precision=ec.high_precision_matmul,
+                act_quant_ok=act_ok,
+            )
+            nxt = mesh_lib.pp_gather_layer(
+                blocks, jnp.minimum(idx + 1, mc.num_layers - 1)
+            )
+            return (out, nxt), new_cache_l
+
+        (h, _), new_cache = lax.scan(body_pp, (h, blk0), (kv_cache, layer_idx))
+    else:
+        def body(carry, xs):
+            blk_params, cache_l, idx = xs
+            act_ok = jnp.logical_and(idx > 0, idx < mc.num_layers - 1)
+            out, new_cache_l = layer_forward(
+                blk_params, mc, carry, condition, y_xattn, sin, cos, cache_l, meta,
+                high_precision=ec.high_precision_matmul,
+                act_quant_ok=act_ok,
+            )
+            return out, new_cache_l
+
+        h, new_cache = lax.scan(body, h, (params["blocks"], kv_cache, layer_idx))
 
     h = layer_norm(h.astype(jnp.float32), params["final_layernorm"], mc.layernorm_epsilon, mc.apply_layernorm_1p)
 
@@ -606,6 +634,18 @@ def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
                 out.append(next(it))
         return jax.tree_util.tree_unflatten(treedef, out)
 
+    # under a mesh, generate each leaf directly INTO its shard layout
+    # (pp layer-FSDP / tp column-row; no post-hoc reshard pass)
+    from magi_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh()
+    if not mesh_lib.mesh_is_trivial(mesh):
+        from jax.sharding import NamedSharding
+
+        specs = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), mesh_lib.dit_param_specs(skeleton)
+        )
+        return jax.jit(build, out_shardings=specs)(key, small)
     return jax.jit(build)(key, small)
 
 

@@ -5,9 +5,18 @@ bookkeeping collapse into one `jax.sharding.Mesh`).
 
 Axes and their meaning:
   dp : data/request parallelism (replicated weights)
-  pp : the reference's pipeline dim.  On TPU we realize it as layer-dim
-       weight sharding (FSDP-style over the scan-stacked layer axis): the
-       memory scaling PP exists for, without pipeline bubbles.
+  pp : the reference's pipeline dim, realized TPU-natively as layer-FSDP
+       (ZeRO-3 style): the stacked layer weights are sharded 1/pp on the
+       layer dim and ONE layer is materialized per scan step by a masked
+       psum broadcast inside a pp-manual shard_map (`pp_gather_layer`),
+       double-buffered so the gather of layer i+1 overlaps layer i's
+       compute.  Activations ALSO shard over pp (it joins cp on the token
+       axis and cp×tp on the head axis), so pp contributes compute
+       throughput, not just memory — the memory scaling PP exists for,
+       without pipeline bubbles.  (A plain scan over a pp-sharded weight
+       stack does NOT work: XLA's SPMD partitioner hoists a FULL-stack
+       all-gather out of the while loop — measured, see
+       docs/pp_scaling.md.)
   cp : context parallelism — the packed token axis is sequence-sharded
        between attention calls; attention itself runs head-sharded.  The
        seq<->head resharding IS Ulysses (ref: context_parallel.py:381-597);
@@ -36,6 +45,13 @@ AXIS_DP = "dp"
 AXIS_PP = "pp"
 AXIS_CP = "cp"
 AXIS_TP = "tp"
+
+# the packed token axis shards over cp AND pp between attentions; attention
+# itself shards heads over cp x pp x tp (Ulysses).  Tuple order is the
+# layout contract — kv_cache_spec, the attention shard_maps and the
+# activation constraints must all agree.
+SEQ_AXES = (AXIS_CP, AXIS_PP)
+HEAD_AXES = (AXIS_CP, AXIS_PP, AXIS_TP)
 
 
 def build_mesh(dp: int = 1, pp: int = 1, cp: int = 1, tp: int = 1, devices=None) -> Mesh:
@@ -103,11 +119,13 @@ def shard_map_mesh():
 
 
 def seq_shards(mesh: Optional[Mesh]) -> int:
-    return 1 if mesh is None else mesh.shape[AXIS_CP]
+    return 1 if mesh is None else mesh.shape[AXIS_CP] * mesh.shape[AXIS_PP]
 
 
 def head_shards(mesh: Optional[Mesh]) -> int:
-    return 1 if mesh is None else mesh.shape[AXIS_CP] * mesh.shape[AXIS_TP]
+    if mesh is None:
+        return 1
+    return mesh.shape[AXIS_CP] * mesh.shape[AXIS_PP] * mesh.shape[AXIS_TP]
 
 
 def constraint(x, *spec):
@@ -180,8 +198,74 @@ def shard_dit_params(params: dict, mesh: Optional[Mesh] = None) -> dict:
 
 
 def kv_cache_spec() -> P:
-    """Cache [L, 2, tok, hk, hd]: layer dim over pp, kv heads over cp×tp."""
-    return P(AXIS_PP, None, None, (AXIS_CP, AXIS_TP), None)
+    """Cache [L, 2, tok, hk, hd]: kv heads over cp×pp×tp (matches the
+    attention shard_map's head axes, so the read-only cache enters the
+    kernel with ZERO boundary traffic).  The layer dim stays UNSHARDED on
+    purpose: `lax.scan` slices it every step, and slicing a sharded dim
+    makes the SPMD partitioner hoist a full-stack all-gather out of the
+    loop (measured — see docs/pp_scaling.md).  Total cache memory per
+    device is 1/(cp·pp·tp) either way."""
+    return P(None, None, None, HEAD_AXES, None)
+
+
+def pp_num_shards() -> int:
+    mesh = get_mesh()
+    return 1 if mesh is None else mesh.shape[AXIS_PP]
+
+
+def pp_gather_layer(blocks: dict, idx) -> dict:
+    """Materialize ONE layer's parameter tree from the pp-layer-sharded
+    stack [L, ...] — the per-step gather of the layer-FSDP design (the
+    TPU-native realization of the reference's PP layer placement,
+    ref: pipeline_parallel.py:30-123 / checkpointing.py:116-137).
+
+    Why not just `lax.scan` over the sharded stack: XLA's SPMD partitioner
+    cannot partition a dynamic-slice on a sharded dim and hoists an
+    all-gather of the ENTIRE stack out of the while loop, putting full
+    weights on every device (measured, docs/pp_scaling.md).  Inside a
+    pp-manual shard_map the slice happens on the LOCAL shard and the
+    broadcast-from-owner is an explicit masked psum per step — weights
+    stay 1/pp in HBM, and the caller double-buffers so the psum of layer
+    i+1 overlaps layer i's compute (split-phase collectives under XLA's
+    latency-hiding scheduler).
+
+    int8 leaves ride through the psum as bf16 — integers in [-127, 127]
+    are exact in bf16's 8-bit mantissa, and TPU all-reduce prefers it."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    mesh = get_mesh()
+    pp = mesh.shape[AXIS_PP]
+    leaves = jax.tree_util.tree_leaves(blocks)
+    num_layers = leaves[0].shape[0]
+    assert num_layers % pp == 0, f"num_layers {num_layers} must divide pp={pp}"
+    l_loc = num_layers // pp
+
+    def inner(blocks_loc, i):
+        rank = lax.axis_index(AXIS_PP)
+        mask = rank == i // l_loc
+        li = i % l_loc
+
+        def pick(a):
+            al = lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+            if jnp.issubdtype(al.dtype, jnp.integer):
+                g = lax.psum(jnp.where(mask, al, 0).astype(jnp.bfloat16), AXIS_PP)
+                return g.astype(al.dtype)
+            return lax.psum(jnp.where(mask, al, jnp.zeros_like(al)), AXIS_PP)
+
+        return jax.tree_util.tree_map(pick, blocks_loc)
+
+    in_specs = (jax.tree_util.tree_map(lambda _: P(AXIS_PP), blocks), P())
+    out_specs = jax.tree_util.tree_map(lambda _: P(), blocks)
+    fn = jax.shard_map(
+        inner,
+        mesh=shard_map_mesh(),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        axis_names={AXIS_PP},
+        check_vma=False,
+    )
+    return fn(blocks, idx)
 
 
 def shard_kv_cache(cache, mesh: Optional[Mesh] = None):

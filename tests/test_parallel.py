@@ -52,7 +52,8 @@ def test_sharded_walk_matches_single_device(eight_devices):
 
 def test_pp_sharded_walk_matches_single_device(eight_devices):
     """pp2 x cp2 x tp2 — the 24B reference layout shape (pp_size:2, cp_size:4
-    on 8 GPUs, ref: README.md:201); pp = layer-dim weight sharding here."""
+    on 8 GPUs, ref: README.md:201); pp = layer-FSDP weights + seq/head
+    compute sharding (docs/pp_scaling.md)."""
     cfg = tiny_config(
         model={"num_attention_heads": 8, "num_query_groups": 8, "hidden_size": 128, "kv_channels": 16},
         engine={"pp_size": 2, "cp_size": 2, "tp_size": 2},
@@ -79,3 +80,89 @@ def test_param_specs_cover_tree():
                 axes = axis if isinstance(axis, tuple) else (axis,)
                 size = int(np.prod([mesh.shape[a] for a in axes]))
                 assert dim % size == 0, (p.shape, s)
+
+
+def test_pp_scan_does_not_hoist_weight_allgather(eight_devices):
+    """The layer-FSDP design exists because a plain lax.scan over a
+    pp-sharded weight stack makes the SPMD partitioner hoist an all-gather
+    of the ENTIRE stack out of the while loop (full weights on every
+    device).  Guard: the compiled pp-sharded step must contain no
+    all-gather at any full-stack weight shape."""
+    cfg = tiny_config(
+        model={"num_attention_heads": 8, "num_query_groups": 8,
+               "hidden_size": 128, "kv_channels": 16, "num_layers": 4},
+        engine={"pp_size": 2, "cp_size": 2, "tp_size": 2},
+    )
+    inp = make_input(cfg, 2)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    mesh = mesh_lib.initialize_mesh(cfg, devices=eight_devices)
+    params = mesh_lib.shard_dit_params(params, mesh)
+    sampler = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
+    sampler.cache = mesh_lib.shard_kv_cache(sampler.cache)
+
+    # capture the real first-step args, then lower that exact call
+    orig = sampler._jit_cfg3
+    captured = {}
+
+    def capture(*args, **kw):
+        # lower BEFORE running: the step donates xs/cache and lowering
+        # afterwards would touch deleted buffers
+        captured["txt"] = orig.lower(*args, **kw).compile().as_text()
+        return orig(*args, **kw)
+
+    sampler._jit_cfg3 = capture
+    sampler.prepare()
+    sampler.do_step(0)
+    txt = captured["txt"]
+
+    L = cfg.model_config.num_layers
+    tp = cfg.engine_config.tp_size
+    stack_shapes = set()
+    for leaf in jax.tree_util.tree_leaves(params["blocks"]):
+        if leaf.ndim == 3 and leaf.shape[0] == L:  # stacked weight matrices
+            _, a, b = leaf.shape
+            stack_shapes.add((L, a, b))
+            stack_shapes.add((L, a // tp, b))  # tp-sharded variants
+            stack_shapes.add((L, a, b // tp))
+    import re
+
+    for line in txt.splitlines():
+        if "all-gather(" not in line and "all-gather-start(" not in line:
+            continue
+        m = re.search(r"(?:bf16|f32|s8)\[([\d,]+)\]", line)
+        if not m:
+            continue
+        dims = tuple(int(d) for d in m.group(1).split(","))
+        assert dims not in stack_shapes, f"hoisted full-stack all-gather: {line[:160]}"
+
+
+def test_multihost_init_hook(monkeypatch):
+    """maybe_init_multihost must call jax.distributed.initialize exactly
+    when a coordinator is configured (the torchrun/c10d rendezvous analog,
+    ref: example/24B/run.sh:27-32), and survive an already-initialized
+    backend with a warning instead of crashing the engine."""
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(1))
+    monkeypatch.delenv("MAGI_MULTIHOST", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    mesh_lib.maybe_init_multihost()
+    assert calls == []
+
+    monkeypatch.setenv("MAGI_MULTIHOST", "1")
+    mesh_lib.maybe_init_multihost()
+    assert calls == [1]
+
+    # already-initialized / single-host error is swallowed, not fatal
+    def boom():
+        raise RuntimeError("backend already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    mesh_lib.maybe_init_multihost()  # must not raise
+
+    # coordinator address alone also triggers
+    monkeypatch.delenv("MAGI_MULTIHOST")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    calls.clear()
+    monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(2))
+    mesh_lib.maybe_init_multihost()
+    assert calls == [2]
