@@ -5,6 +5,9 @@
 
 TPU extension: `--prompts a b c` (t2v only) generates a batch of videos in
 lockstep, dp-batched (one jitted denoise step serves the whole batch).
+`--prompts ... --interleave` instead round-robins the requests through one
+engine with decode on a worker thread (multi-request overlap on one chip,
+the reference's PP multi-request analog).
 """
 
 from __future__ import annotations
@@ -27,6 +30,11 @@ def parse_args():
     parser.add_argument("--prefix_video_path", type=str, default=None, help="prefix video for v2v")
     parser.add_argument("--output_path", type=str, default="output.mp4")
     parser.add_argument(
+        "--interleave", action="store_true",
+        help="with --prompts: round-robin requests through one engine "
+             "(decode overlaps denoise) instead of lockstep dp batching",
+    )
+    parser.add_argument(
         "--output_paths", type=str, nargs="+", default=None,
         help="per-prompt output paths for --prompts (default: output_path with _0.._N suffixes)",
     )
@@ -45,7 +53,10 @@ def main() -> None:
             stem, dot, ext = args.output_path.rpartition(".")
             outs = [f"{stem}_{i}{dot}{ext}" for i in range(len(args.prompts))]
         assert len(outs) == len(args.prompts)
-        pipeline.run_text_to_video_batch(args.prompts, outs)
+        if args.interleave:
+            pipeline.run_text_to_video_many(args.prompts, outs)
+        else:
+            pipeline.run_text_to_video_batch(args.prompts, outs)
     elif args.mode == "t2v":
         pipeline.run_text_to_video(prompt=args.prompt, output_path=args.output_path)
     elif args.mode == "i2v":

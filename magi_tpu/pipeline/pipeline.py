@@ -24,19 +24,32 @@ from magi_tpu.sampling.transport import ArdfSampler
 
 def get_dit(config: MagiConfig):
     """Build + load the DiT parameters (ref: get_dit, dit_model.py:641-673).
-    SKIP_LOAD_MODEL=1 gives random weights (ref: dit_model.py:602)."""
+    SKIP_LOAD_MODEL=1 gives random weights (ref: dit_model.py:602).
+
+    Quantized execution: `fp8_quant: true` in the config (the reference's
+    fp8 engine switch, ref: dit_module.py:431-487) — or MAGI_INT8=1 for
+    any model — re-quantizes the big linears to int8 + per-channel scales
+    and the denoise step runs int8 x int8 -> int32 on the MXU (first/last
+    layers bf16, ref: dit_module.py:407)."""
     from magi_tpu.models.dit.model import init_dit_params, init_dit_params_on_device
 
     if env_is_true("SKIP_LOAD_MODEL"):
         print_rank_0("SKIP_LOAD_MODEL set: using random weights")
         if jax.default_backend() == "tpu":
             # generate on device: no multi-GB host->device weight upload
-            return init_dit_params_on_device(jax.random.PRNGKey(config.runtime_config.seed), config)
-        return init_dit_params(jax.random.PRNGKey(config.runtime_config.seed), config)
-    from magi_tpu.checkpoint.loader import load_dit_params
+            params = init_dit_params_on_device(jax.random.PRNGKey(config.runtime_config.seed), config)
+        else:
+            params = init_dit_params(jax.random.PRNGKey(config.runtime_config.seed), config)
+    else:
+        from magi_tpu.checkpoint.loader import load_dit_params
 
-    params = load_dit_params(config)
-    print_rank_0("Load checkpoint successfully")
+        params = load_dit_params(config)
+        print_rank_0("Load checkpoint successfully")
+    if config.engine_config.fp8_quant or env_is_true("MAGI_INT8"):
+        from magi_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+        print_rank_0("Quantized DiT linears to int8 (TPU analog of fp8 execution)")
     return params
 
 
@@ -100,6 +113,51 @@ class MagiPipeline:
             save_video_to_disk(video, path, fps=self.config.runtime_config.fps)
         print_rank_0(
             f"Finish batched MagiPipeline: {len(prompts)} videos in {time.perf_counter() - t0:.1f}s"
+        )
+
+    def run_text_to_video_many(self, prompts, output_paths) -> None:
+        """Interleave several requests on ONE engine: round-robin denoise
+        steps (`walk_many`) with VAE decode + host transfer pushed to a
+        worker thread, so one request's decode overlaps another's denoise
+        — the single-chip analog of the reference's PP multi-request
+        overlap (ref: video_generate.py:721-754).  Unlike
+        run_text_to_video_batch (lockstep dp batching), requests here may
+        have different schedules, and memory scales with the number of
+        in-flight KV caches — pair with int8 weights for 2 requests on a
+        16GB chip."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from magi_tpu.sampling.transport import walk_many
+
+        assert len(prompts) == len(output_paths) and prompts
+        t0 = time.perf_counter()
+        params = get_dit(self.config)
+        null_caption = np.asarray(params["y_embedder"]["null_caption_embedding"], np.float32)
+
+        samplers = []
+        for i, prompt in enumerate(prompts):
+            caption_embs, emb_masks = get_txt_embeddings(prompt, self.config)
+            inp = build_inference_input(self.config, null_caption, caption_embs, emb_masks, None)
+            samplers.append(
+                ArdfSampler(self.config, params, inp, jax.random.fold_in(self.key, i))
+            )
+
+        segments = [[] for _ in prompts]
+        with maybe_trace("walk_many"), ThreadPoolExecutor(max_workers=1) as pool:
+            futures = []
+            for ridx, chunk_idx, chunk in walk_many(samplers):
+                # decode on the worker: its blocking device->host reads ride
+                # behind the denoise steps this loop keeps dispatching
+                futures.append((ridx, pool.submit(post_chunk_process, chunk, self.config)))
+                print_rank_0(f"request {ridx}: chunk {chunk_idx + 1} done")
+            for ridx, fut in futures:
+                segments[ridx].append(fut.result())
+        for r, path in enumerate(output_paths):
+            video = np.concatenate(segments[r], axis=0)
+            save_video_to_disk(video, path, fps=self.config.runtime_config.fps)
+        print_rank_0(
+            f"Finish interleaved MagiPipeline: {len(prompts)} videos in "
+            f"{time.perf_counter() - t0:.1f}s"
         )
 
     def _run(self, prompt: str, prefix_video, output_path: str) -> None:

@@ -175,7 +175,10 @@ class ArdfSampler:
         else:
             self.cache_chunks = full_chunks
         self.cache_base = 0  # chunk index of cache slot 0
-        self.cache = init_kv_cache(config, self.cache_chunks * self.ctn)
+        from magi_tpu.parallel.mesh import shard_kv_cache
+
+        # mesh-aware placement (kv heads over cp×pp×tp); no-op single-device
+        self.cache = shard_kv_cache(init_kv_cache(config, self.cache_chunks * self.ctn))
         self.counts: Counter = Counter()
 
         self.chunk_offset = 0
@@ -368,8 +371,16 @@ class ArdfSampler:
                 return c_start - self.chunk_offset, chunk
         return None
 
+    # When True, _emit returns the chunk as a DEVICE array (an async-
+    # dispatched slice into a fresh buffer — safe across the next step's
+    # donation) instead of blocking the host on np.asarray until the whole
+    # device queue drains.  walk_many sets this so one request's decode /
+    # host transfer can overlap another's denoise dispatch.
+    emit_device = False
+
     def _emit(self, chunk_idx: int) -> Optional[np.ndarray]:
         cw = self.cw
+        to_host = (lambda a: a) if self.emit_device else np.asarray
         lo, hi = chunk_idx * cw, (chunk_idx + 1) * cw
         # `...` keeps this valid under the dp-batched subclass ([R, C, T, H, W])
         if self.prefix_len > 0:
@@ -379,8 +390,8 @@ class ArdfSampler:
             # Keep the first 4-frames only for I2V (ref: video_generate.py:708-710)
             if chunk_idx == 0 and self.prefix_len == 1:
                 real_start = 0
-            return np.asarray(self.xs[..., real_start:hi, :, :])
-        return np.asarray(self.xs[..., lo:hi, :, :])
+            return to_host(self.xs[..., real_start:hi, :, :])
+        return to_host(self.xs[..., lo:hi, :, :])
 
     def _run_prefix_warmup(self) -> None:
         """Write the prefix video's clean KV into the cache
@@ -703,14 +714,21 @@ def _prefix_warmup_step(
 
 def walk_many(samplers) -> Generator[Tuple[int, int, np.ndarray], None, None]:
     """Round-robin multiple requests through their denoise steps, yielding
-    (request_idx, chunk_idx, latent) — the reference's multi-input work
-    queue (ref: SampleTransport.walk, video_generate.py:721-754; there it
-    exists to keep PP stages busy, here it interleaves requests so VAE
-    decode of one request overlaps denoising of another)."""
+    (request_idx, chunk_idx, latent-on-DEVICE) — the reference's
+    multi-input work queue (ref: SampleTransport.walk,
+    video_generate.py:721-754; there it exists to keep PP stages busy,
+    here it interleaves requests so VAE decode of one request overlaps
+    denoising of another).
+
+    Chunks are emitted as device arrays (async-dispatched slices): the
+    host loop never blocks on a transfer, so the consumer can hand the
+    chunk to a decode worker thread while the next request's denoise step
+    dispatches — see MagiPipeline.run_text_to_video_many."""
     from queue import Queue
 
     queue: "Queue[Tuple[int, int]]" = Queue()
     for idx, s in enumerate(samplers):
+        s.emit_device = True
         s.prepare()
         queue.put((idx, 0))
     while not queue.empty():
