@@ -53,6 +53,16 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_pallas_qmm() -> bool:
+    """The int8 qmm Pallas kernels are opaque to the SPMD partitioner (a
+    sharded operand would replicate the whole call); under a model-parallel
+    mesh the quantized path uses XLA-native int8 dots instead, which
+    partition like any dot and fuse their dequant epilogues."""
+    from magi_tpu.parallel.mesh import model_parallel_trivial
+
+    return _use_pallas() and model_parallel_trivial()
+
+
 def _attention(q, k, v, kv_start, kv_end, *, seg_len):
     """Dispatch: Pallas kernel on TPU, dense jnp elsewhere; head-sharded
     shard_map under a non-trivial mesh (Ulysses — the seq<->head reshard at
@@ -165,7 +175,7 @@ def _pdot(x, p: dict, high_precision: bool = False):
     if "weight_q" in p:
         from magi_tpu.ops.quant import quantized_matmul, quantized_matmul_reference
 
-        if _use_pallas():
+        if _use_pallas_qmm():
             return quantized_matmul(x, p["weight_q"], p["weight_scale"]).astype(x.dtype)
         return quantized_matmul_reference(x, p["weight_q"], p["weight_scale"]).astype(x.dtype)
     return _dot(x, p["weight"], high_precision)
@@ -191,20 +201,32 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False):
         quantized_matmul_reference,
     )
 
-    use_pallas = _use_pallas()
+    use_pallas = _use_pallas_qmm()
     qmm_i8 = quantized_matmul_i8 if use_pallas else quantized_matmul_i8_reference
     qmm_deq = quantized_matmul if use_pallas else quantized_matmul_reference
+
+    def deq_branch(xx):
+        return tuple(
+            qmm_deq(xx, pp["weight_q"], pp["weight_scale"]).astype(xx.dtype) for pp in plist
+        )
+
+    from magi_tpu.parallel.mesh import model_parallel_trivial
+
+    if not model_parallel_trivial():
+        # Under a model-parallel mesh, int8 runs weight-only (stored int8,
+        # dequant fused into the f32/bf16 dot): the SPMD partitioner's
+        # row-parallel contraction would otherwise insert an int32
+        # all-reduce inside the layer-scan while-loop, which crashes XLA's
+        # all-reduce code-motion pass (CloneAllReduce: "Invalid binary
+        # instruction opcode copy").  Memory win is kept; the int8-MXU
+        # speed path stays single-chip/dp-only until that is fixed.
+        return deq_branch(x)
 
     def i8_branch(xx):
         xq, rs = act_quant_rowwise(xx)
         return tuple(
             qmm_i8(xq, rs, pp["weight_q"], pp["weight_scale"], out_dtype=xx.dtype)
             for pp in plist
-        )
-
-    def deq_branch(xx):
-        return tuple(
-            qmm_deq(xx, pp["weight_q"], pp["weight_scale"]).astype(xx.dtype) for pp in plist
         )
 
     return lax.cond(act_ok, i8_branch, deq_branch, x)

@@ -107,6 +107,19 @@ def mesh_is_trivial(mesh: Optional[Mesh]) -> bool:
     return mesh is None or mesh.devices.size == 1
 
 
+def model_parallel_trivial(mesh: Optional[Mesh] = None) -> bool:
+    """True when the model-parallel submesh (pp, cp, tp) is all size 1 —
+    dp-only request batching still counts as trivial because each dp group
+    runs a full single-device model program (shard_map manual over dp).
+    Pallas kernels that XLA cannot SPMD-partition (the int8 qmm) are only
+    safe on a model-parallel-trivial mesh; sharded runs use XLA-native
+    dots instead."""
+    mesh = mesh if mesh is not None else get_mesh()
+    if mesh is None:
+        return True
+    return all(mesh.shape[a] == 1 for a in (AXIS_PP, AXIS_CP, AXIS_TP))
+
+
 def shard_map_mesh():
     """The mesh to hand a nested `jax.shard_map`: inside an already-manual
     region (the dp-manual request-batching wrapper) the context AbstractMesh
@@ -177,6 +190,15 @@ def dit_param_specs(params: dict) -> dict:
             return P(*lead, None, AXIS_TP)
         if mat_nd == 2 and any(r in path for r in row) and path.endswith("weight"):
             return P(*lead, AXIS_TP, None)
+        # int8 quantized leaves (quantize_params_int8): weight_q mirrors the
+        # bf16 weight's col/row sharding; per-out-channel scales follow the
+        # out dim (sharded for col-parallel, replicated for row-parallel)
+        if mat_nd == 2 and any(c in path for c in col) and path.endswith("weight_q"):
+            return P(*lead, None, AXIS_TP)
+        if mat_nd == 2 and any(r in path for r in row) and path.endswith("weight_q"):
+            return P(*lead, AXIS_TP, None)
+        if mat_nd == 1 and any(c in path for c in col) and path.endswith("weight_scale"):
+            return P(*lead, AXIS_TP)
         return P(*lead, *([None] * mat_nd))
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
@@ -248,9 +270,18 @@ def pp_gather_layer(blocks: dict, idx) -> dict:
 
         def pick(a):
             al = lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
-            if jnp.issubdtype(al.dtype, jnp.integer):
-                g = lax.psum(jnp.where(mask, al, 0).astype(jnp.bfloat16), AXIS_PP)
-                return g.astype(al.dtype)
+            is_int = jnp.issubdtype(al.dtype, jnp.integer)
+            # A sub-f32 all-reduce inside the layer-scan while-loop crashes
+            # the CPU backend's AllReducePromotion pass ("Invalid binary
+            # instruction opcode copy"), and int dtypes shouldn't ride an
+            # add-reduce at all — promote both to f32 for the psum (exact:
+            # one rank contributes, the rest are zeros; int8 fits f32).
+            # On TPU, bf16 weights psum natively at half the bytes.
+            promote = is_int or (al.dtype.itemsize < 4 and jax.default_backend() != "tpu")
+            if promote:
+                out_dt = jnp.bfloat16 if is_int else al.dtype
+                g = lax.psum(jnp.where(mask, al, 0).astype(jnp.float32), AXIS_PP)
+                return g.astype(out_dt)
             return lax.psum(jnp.where(mask, al, jnp.zeros_like(al)), AXIS_PP)
 
         return jax.tree_util.tree_map(pick, blocks_loc)

@@ -166,3 +166,36 @@ def test_multihost_init_hook(monkeypatch):
     monkeypatch.setattr(jax.distributed, "initialize", lambda: calls.append(2))
     mesh_lib.maybe_init_multihost()
     assert calls == [2]
+
+
+def test_int8_sharded_walk_close_to_single_device(eight_devices):
+    """Quantized execution composed with model parallelism: the quantized
+    walk on a pp2 x cp2 x tp2 mesh (weight_q/weight_scale sharded per
+    dit_param_specs) runs WEIGHT-ONLY dequant dots — the Pallas int8 qmm
+    is opaque to the SPMD partitioner, and the partitioned int8
+    contraction's int32 all-reduce crashes XLA CPU — while the
+    single-device walk quantizes activations too.  They agree to within
+    activation-quant noise, bounding the sharded path's quantization
+    error."""
+    from magi_tpu.ops.quant import quantize_params_int8
+
+    cfg = tiny_config(
+        model={"num_attention_heads": 8, "num_query_groups": 8, "hidden_size": 128,
+               "kv_channels": 16, "num_layers": 4},
+        engine={"pp_size": 2, "cp_size": 2, "tp_size": 2},
+    )
+    inp = make_input(cfg, 2)
+    params = quantize_params_int8(init_dit_params(jax.random.PRNGKey(0), cfg))
+
+    mesh_lib.destroy_mesh()
+    s = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
+    ref = [c for _, c in s.walk()]
+
+    mesh = mesh_lib.initialize_mesh(cfg, devices=eight_devices)
+    sp = mesh_lib.shard_dit_params(params, mesh)
+    s2 = ArdfSampler(cfg, sp, inp, jax.random.PRNGKey(7))
+    got = [c for _, c in s2.walk()]
+
+    assert len(ref) == len(got) == 2
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=2e-2, rtol=2e-2)
