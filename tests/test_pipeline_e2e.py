@@ -119,3 +119,15 @@ def test_v2v_end_to_end(pipeline_env, tmp_path):
     out = str(tmp_path / "out_v2v.mp4")
     MagiPipeline(tiny_config_json(tmp_path)).run_video_to_video("continue", vid_path, out)
     assert _check_video(out) >= 8  # non-prefix frames emitted
+
+
+def test_t2v_interleaved_end_to_end(pipeline_env, tmp_path):
+    """run_text_to_video_many: round-robin requests through one engine with
+    decode on a worker thread (single-chip multi-request overlap, the
+    reference's PP multi-request analog, ref: video_generate.py:721-754)."""
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+
+    outs = [str(tmp_path / f"out_i{i}.mp4") for i in range(2)]
+    MagiPipeline(tiny_config_json(tmp_path)).run_text_to_video_many(["a cat", "a dog"], outs)
+    for out in outs:
+        assert _check_video(out) == 16
