@@ -125,10 +125,13 @@ def generate_magi_video_batch(
     output_dir: Optional[str] = None,
     show_progress: bool = True,
     timeout: Optional[float] = None,
+    interleave: bool = False,
 ) -> dict:
     """Batch t2v: one subprocess, N prompts denoised in lockstep over the
     dp axis (TPU extension; the reference service is strictly one request
-    per subprocess).  Returns {"success", "output_paths": [...], ...}."""
+    per subprocess).  `interleave=True` instead round-robins the requests
+    through one engine with decode on a worker thread (single-chip
+    multi-request overlap).  Returns {"success", "output_paths": [...]}."""
     assert prompts
     root = _repo_root()
     config_file = config_file or os.path.join(root, DEFAULT_CONFIGS.get(model_size, DEFAULT_CONFIGS["4.5B"]))
@@ -143,6 +146,8 @@ def generate_magi_video_batch(
         "--prompts", *prompts,
         "--output_paths", *outs,
     ]
+    if interleave:
+        cmd.append("--interleave")
     env = dict(os.environ)
     env.setdefault("PAD_HQ", "true")
     env.setdefault("PAD_DURATION", "true")

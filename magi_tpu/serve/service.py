@@ -163,6 +163,7 @@ def route_generate(body: dict) -> dict:
             model_size=body.get("model_size") or MAGI_MODEL_SIZE,
             config_file=MAGI_CONFIG_FILE,
             output_dir=OUT_DIR,
+            interleave=bool(body.get("interleave")),
         )
         if not out.get("success"):
             raise HTTPError(500, out.get("error") or "generation failed")
