@@ -101,17 +101,22 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
     return _reshard_heads_to_tokens(fn(q, k, v, kv_start, kv_end))
 
 
-def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
+def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=None):
     """Two-source attention: read-only cache + current kv, two ranges per
     segment — the cache⊕current concat (ref: dit_module.py:931) without
-    materializing a view copy per layer."""
+    materializing a view copy per layer.  `q_pro` (Pallas path only)
+    carries the q-side QK-norm params + rotary tables for the kernel's
+    fused prologue — q arrives RAW from the projection."""
     from jax.sharding import PartitionSpec as P
 
     from magi_tpu.parallel import mesh as mesh_lib
 
     if _use_pallas():
-        impl = functools.partial(segmented_attention_two_source, block_q=512, block_k=1024)
+        impl = functools.partial(
+            segmented_attention_two_source, block_q=512, block_k=1024, q_prologue=q_pro
+        )
     else:
+        assert q_pro is None  # reference path normalizes/ropes outside
         impl = segmented_attention_two_source_reference
 
     mesh = mesh_lib.get_mesh()
@@ -122,14 +127,34 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len):
     heads = mesh_lib.HEAD_AXES
     qspec = P(None, heads, None)
     kvspec = P(None, None, heads, None)
+    if q_pro is None:
+        fn = jax.shard_map(
+            functools.partial(impl, seg_len=seg_len),
+            mesh=mesh_lib.shard_map_mesh(),
+            in_specs=(qspec, kvspec, kvspec, P(), P(), P(), P()),
+            out_specs=qspec,
+            axis_names=set(heads),
+        )
+        return _reshard_heads_to_tokens(fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e))
+
+    qw, qb, sin, cos, ln_eps = q_pro
+
+    def sharded(qq, c1, c2, a, b, cc, d, w_, b_, s_, co_):
+        return segmented_attention_two_source(
+            qq, c1, c2, a, b, cc, d, seg_len=seg_len, block_q=512, block_k=1024,
+            q_prologue=(w_, b_, s_, co_, ln_eps),
+        )
+
     fn = jax.shard_map(
-        functools.partial(impl, seg_len=seg_len),
+        sharded,
         mesh=mesh_lib.shard_map_mesh(),
-        in_specs=(qspec, kvspec, kvspec, P(), P(), P(), P()),
+        in_specs=(qspec, kvspec, kvspec, P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=qspec,
         axis_names=set(heads),
     )
-    return _reshard_heads_to_tokens(fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e))
+    return _reshard_heads_to_tokens(
+        fn(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, qw, qb, sin, cos)
+    )
 
 
 def _reshard_heads_to_tokens(out):
@@ -277,8 +302,19 @@ def attention_forward(
 
     # --- self-attn q/k/v with fp32 QK-norm + rope (ref: dit_module.py:953-1003) ---
     q = q.reshape(S, hq, hd)
-    q = layer_norm(q, p["q_layernorm"], eps, zc, compute_dtype=jnp.float32)
-    q = apply_rotary(q, sin, cos).astype(x.dtype)
+    # On the Pallas cached path the fp32 q-norm + rotary run INSIDE the
+    # kernel prologue (saves the f32 materialization + layout copies —
+    # ~14% of a step, docs/perf_notes.md); elsewhere they run here.
+    fuse_q = meta.use_kv_cache and _use_pallas()
+    if fuse_q:
+        qw = p["q_layernorm"]["weight"].astype(jnp.float32) + (1.0 if zc else 0.0)
+        qb = p["q_layernorm"]["bias"].astype(jnp.float32)
+        q_pro = (qw, qb, sin, cos, eps)
+        q = q.astype(x.dtype)
+    else:
+        q_pro = None
+        q = layer_norm(q, p["q_layernorm"], eps, zc, compute_dtype=jnp.float32)
+        q = apply_rotary(q, sin, cos).astype(x.dtype)
 
     k = k.reshape(S, hk, hd)
     k = layer_norm(k, p["k_layernorm"], eps, zc, compute_dtype=jnp.float32)
@@ -309,7 +345,8 @@ def attention_forward(
         r2s = jnp.maximum(gs - start_tok, 0)
         r2e = jnp.maximum(ge - start_tok, 0)
         core = _attention_cached(
-            q, cache_l.astype(x.dtype), kv, r1s, r1e, r2s, r2e, seg_len=ctn
+            q, cache_l.astype(x.dtype), kv, r1s, r1e, r2s, r2e, seg_len=ctn,
+            q_pro=q_pro,
         )
     else:
         new_cache_l = cache_l

@@ -483,19 +483,13 @@ def _seg_attn_kernel_two_source(
     q_ref,  # [1, 1, q_per_kv, block_q, hd] VMEM — the whole GQA group
     kv1_hbm,  # [2, hk, kv1_pad, hd] ANY (source 1: KV cache)
     kv2_hbm,  # [2, hk, kv2_pad, hd] ANY (source 2: current kv)
-    # outputs
-    o_ref,
-    # scratch
-    k_buf,
-    v_buf,
-    sems,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    # fused-prologue inputs + outputs + scratch (layout depends on fused_rot)
+    *rest,
     sm_scale: float,
     block_k: int,
     q_per_kv: int,
+    fused_rot: int = 0,
+    ln_eps: float = 1e-6,
 ):
     """Two-source streaming variant: each segment attends
     src1[r1_start, r1_end) then src2[r2_start, r2_end).  Lets the KV cache
@@ -504,13 +498,46 @@ def _seg_attn_kernel_two_source(
     (ref: dit_module.py:931) without materializing it.
 
     Like `_seg_attn_kernel_v2`, the grid walks KV heads and folds the whole
-    GQA group into the matmul rows (q_per_kv× less kv DMA)."""
+    GQA group into the matmul rows (q_per_kv× less kv DMA).
+
+    With `fused_rot = rot > 0`, the kernel additionally applies the fp32
+    q-side QK-layernorm + rotary in its prologue (q arrives RAW from the
+    projection): profiling showed the fp32 norm/rope intermediates and the
+    layout copies XLA inserts around them cost ~14% of a denoise step
+    (docs/perf_notes.md) — folding them here removes the HBM round-trips
+    entirely.  k is NOT folded: its normed/roped form must materialize
+    anyway because the KV cache stores post-rope keys
+    (ref: dit_module.py:953-1003 q_layernorm + apply_rotary_emb)."""
+    if fused_rot:
+        (qw_ref, qb_ref, sin_ref, cos_ref,
+         o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr, q_scr) = rest
+    else:
+        o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr = rest
+        q_scr = None
+
     seg = pl.program_id(0)
     kv_head = pl.program_id(1)
 
     m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    if fused_rot:
+        rot = fused_rot
+        qf = q_ref[0, 0].astype(jnp.float32)  # [q_per_kv, block_q, hd]
+        mean = jnp.mean(qf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(qf - mean), axis=-1, keepdims=True)
+        qn = (qf - mean) * lax.rsqrt(var + ln_eps)
+        qn = qn * qw_ref[0][None, None, :] + qb_ref[0][None, None, :]
+        sin = sin_ref[0][None]  # [1, block_q, rot] f32
+        cos = cos_ref[0][None]
+        x1 = qn[..., :rot]
+        x2 = qn[..., rot : 2 * rot]
+        tail = qn[..., 2 * rot :]
+        qn = jnp.concatenate(
+            [x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1
+        )
+        q_scr[...] = qn.reshape(q_scr.shape).astype(q_scr.dtype)
 
     def phase(src_hbm, start, end):
         lo = start // block_k
@@ -525,7 +552,10 @@ def _seg_attn_kernel_two_source(
 
         def tile_compute(i, slot, masked: bool):
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
-            q = q_ref[0, 0].reshape(rows, head_dim)
+            if q_scr is not None:
+                q = q_scr[...]
+            else:
+                q = q_ref[0, 0].reshape(rows, head_dim)
             k = k_buf[slot]
             s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s *= sm_scale * LOG2E  # exp2-domain softmax
@@ -611,6 +641,10 @@ def segmented_attention_two_source(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    q_prologue=None,  # (qln_w f32 [hd] (+1 pre-applied), qln_b f32 [hd],
+    #                    sin f32 [total_q, rot], cos f32 [total_q, rot],
+    #                    ln_eps) — q arrives RAW; the kernel applies the
+    #                    fp32 QK-layernorm + rotary in its prologue
 ) -> jax.Array:
     total_q, hq, hd = q.shape
     _, kv1_len, hk, _ = kv1.shape
@@ -649,26 +683,57 @@ def segmented_attention_two_source(
 
     grid = (n_seg, hk, seg_pad // block_q)
     rows = q_per_kv * block_q
+
+    in_specs = [
+        pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, block_k, hd), kv2.dtype),
+        pltpu.VMEM((2, block_k, hd), kv2.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+        pltpu.VMEM((rows, hd), jnp.float32),
+    ]
+    operands = [q_r, kv1_r, kv2_r]
+    fused_rot = 0
+    ln_eps = 1e-6
+    if q_prologue is not None:
+        qln_w, qln_b, sin_q, cos_q, ln_eps = q_prologue
+        rot = sin_q.shape[-1]
+        fused_rot = int(rot)
+        assert 2 * rot <= hd
+        sincos = []
+        for t in (sin_q, cos_q):
+            t = t.astype(jnp.float32).reshape(n_seg, seg_len, rot)
+            if seg_pad != seg_len:
+                t = jnp.pad(t, ((0, 0), (0, seg_pad - seg_len), (0, 0)))
+            sincos.append(t)
+        operands += [
+            qln_w.astype(jnp.float32).reshape(1, hd),
+            qln_b.astype(jnp.float32).reshape(1, hd),
+            *sincos,
+        ]
+        in_specs += [
+            pl.BlockSpec((1, hd), lambda s, g, qt, *_: (0, 0)),
+            pl.BlockSpec((1, hd), lambda s, g, qt, *_: (0, 0)),
+            pl.BlockSpec((1, block_q, rot), lambda s, g, qt, *_: (s, qt, 0)),
+            pl.BlockSpec((1, block_q, rot), lambda s, g, qt, *_: (s, qt, 0)),
+        ]
+        scratch_shapes.append(pltpu.VMEM((rows, hd), q.dtype))
+
     kernel = functools.partial(
-        _seg_attn_kernel_two_source, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv
+        _seg_attn_kernel_two_source, sm_scale=sm_scale, block_k=block_k,
+        q_per_kv=q_per_kv, fused_rot=fused_rot, ln_eps=float(ln_eps),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_k, hd), kv2.dtype),
-            pltpu.VMEM((2, block_k, hd), kv2.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, hd), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,
@@ -681,7 +746,7 @@ def segmented_attention_two_source(
     )(
         r1_start.astype(jnp.int32), r1_end.astype(jnp.int32),
         r2_start.astype(jnp.int32), r2_end.astype(jnp.int32),
-        q_r, kv1_r, kv2_r,
+        *operands,
     )
     out = out.reshape(n_seg, hq, seg_pad, hd).transpose(0, 2, 1, 3)
     if seg_pad != seg_len:

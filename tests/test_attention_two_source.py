@@ -65,3 +65,34 @@ def test_empty_both(rng):
     z = jnp.zeros(1, jnp.int32)
     got = ATTN(q, kv1, kv2, z, z, z, z, seg_len=128)
     np.testing.assert_allclose(np.asarray(got), 0.0)
+
+
+def test_fused_q_prologue_matches_external_norm_rope(rng):
+    """Kernel with the fused fp32 q-layernorm + rotary prologue (q RAW) ==
+    norm + rope applied outside then the plain kernel."""
+    from magi_tpu.models.dit.model import layer_norm
+    from magi_tpu.models.dit.rope import apply_rotary
+
+    n_seg, ctn, C0, hq, hk, hd = 2, 128, 256, 4, 2, 128
+    rot = 48
+    q, kv1, kv2 = make(rng, n_seg, ctn, C0, n_seg * ctn, hq, hk, hd)
+    sin = jnp.asarray(rng.normal(size=(n_seg * ctn, rot)), jnp.float32)
+    cos = jnp.asarray(rng.normal(size=(n_seg * ctn, rot)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(hd,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(hd,)) * 0.1, jnp.float32)
+    eps = 1e-6
+
+    a1 = jnp.asarray([0, 0], jnp.int32)
+    b1 = jnp.asarray([C0, C0], jnp.int32)
+    a2 = jnp.asarray([0, 0], jnp.int32)
+    b2 = jnp.asarray([ctn, 2 * ctn], jnp.int32)
+
+    # external: zero-centered handled by pre-adding 1 to w in both paths
+    qn = layer_norm(q, {"weight": w, "bias": b}, eps, zero_centered=False,
+                    compute_dtype=jnp.float32)
+    qn = apply_rotary(qn, sin, cos)
+    want = ATTN(qn, kv1, kv2, a1, b1, a2, b2, seg_len=ctn)
+
+    got = ATTN(q, kv1, kv2, a1, b1, a2, b2, seg_len=ctn,
+               q_prologue=(w, b, sin, cos, eps))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
