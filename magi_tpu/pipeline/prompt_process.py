@@ -139,11 +139,30 @@ def _t5(cache_dir: str, max_len: int, device: str = "cpu"):
 def get_txt_embeddings(prompt: str, config: MagiConfig) -> Tuple[np.ndarray, np.ndarray]:
     """prompt -> (caption_embs [1, L, C] fp32, mask [1, L])
     (ref: get_txt_embeddings, prompt_process.py:181-209; the tp-cp-rank
-    broadcast disappears in single-process TPU execution)."""
+    broadcast disappears in single-process TPU execution).
+
+    SKIP_LOAD_MODEL=1 (the no-checkpoints debug mode, ref:
+    dit_model.py:602): deterministic pseudo-embeddings seeded by the
+    prompt text — the whole CLI runs end-to-end on a machine with no
+    downloaded weights."""
+    from magi_tpu.core.utils import env_is_true
+
+    L = config.model_config.caption_max_length
+    if env_is_true("SKIP_LOAD_MODEL"):
+        print_rank_0("SKIP_LOAD_MODEL set: pseudo text embeddings")
+        import zlib
+
+        seed = zlib.crc32(prompt.encode())
+        rng = np.random.default_rng(seed)
+        embs = rng.normal(size=(1, L, config.model_config.caption_channels)).astype(np.float32)
+        n_tok = min(max(len(prompt.split()), 1) + 2, L)
+        mask = np.zeros((1, L), np.int32)
+        mask[0, :n_tok] = 1
+        return embs, mask
     print_rank_0("Precompute validation prompt embeddings")
     t5 = _t5(
         config.runtime_config.t5_pretrained,
-        config.model_config.caption_max_length,
+        L,
         device=config.runtime_config.t5_device,
     )
     embs, mask = t5.get_text_embeddings([prompt])

@@ -148,11 +148,26 @@ def save_video_to_disk(video: np.ndarray, save_path: str, fps: int) -> None:
 _vae_cache: dict = {}
 
 
-def get_vae(vae_ckpt: str):
+def get_vae(vae_ckpt: str, z_chans: int = 16):
     from magi_tpu.checkpoint.vae_loader import load_vae
+    from magi_tpu.core.utils import env_is_true
 
     if vae_ckpt in _vae_cache:
         return _vae_cache[vae_ckpt]
+    if env_is_true("SKIP_LOAD_MODEL") and not os.path.exists(
+        os.path.join(vae_ckpt, "config.json")
+    ):
+        # no-checkpoints debug mode: a random MAGI-shaped ViT-VAE
+        # (8x spatial / 4x temporal, z=16) so the CLI runs end-to-end
+        from magi_tpu.models.vae.model import VaeConfig, ViTVAE, init_vae_params
+
+        cfg = VaeConfig(
+            video_size=256, video_length=16, patch_size=8, patch_length=4,
+            in_chans=3, z_chans=z_chans, embed_dim=1024, depth=16, num_heads=16,
+        )
+        vae = ViTVAE(cfg, init_vae_params(cfg, seed=0))
+        _vae_cache[vae_ckpt] = vae
+        return vae
     vae = load_vae(vae_ckpt)
     if os.environ.get("OFFLOAD_VAE_CACHE") == "true":
         return vae  # (ref: video_process.py:69-70)
@@ -245,7 +260,8 @@ def decode_chunk(chunk: np.ndarray, config: MagiConfig) -> np.ndarray:
     from magi_tpu.runtime_native import f32_cthw_to_u8_thwc
 
     rc = config.runtime_config
-    vae = get_vae(rc.vae_pretrained)
+    mc = config.model_config
+    vae = get_vae(rc.vae_pretrained, z_chans=mc.out_channels // (2 if mc.half_channel_vae else 1))
     z = jnp.asarray(chunk, jnp.bfloat16)[None] / rc.scale_factor
     video = tiled_decode(vae, z, tile_frames=rc.fps // 2)
     return f32_cthw_to_u8_thwc(np.asarray(video[0], np.float32))  # THWC uint8

@@ -54,7 +54,7 @@ def pipeline_env(tmp_path, monkeypatch):
     vae = ViTVAE(vae_cfg, init_vae_params(vae_cfg, seed=1))
 
     monkeypatch.setattr(prompt_process, "get_txt_embeddings", fake_txt)
-    monkeypatch.setattr(video_process, "get_vae", lambda ckpt: vae)
+    monkeypatch.setattr(video_process, "get_vae", lambda ckpt, **kw: vae)
     # pipeline.py imported the symbol directly
     import magi_tpu.pipeline.pipeline as pl
 
@@ -131,3 +131,18 @@ def test_t2v_interleaved_end_to_end(pipeline_env, tmp_path):
     MagiPipeline(tiny_config_json(tmp_path)).run_text_to_video_many(["a cat", "a dog"], outs)
     for out in outs:
         assert _check_video(out) == 16
+
+
+def test_t2v_no_checkpoints_fallbacks(tmp_path, monkeypatch):
+    """SKIP_LOAD_MODEL with NO monkeypatching: the CLI pipeline must run
+    end-to-end on a machine with zero downloaded checkpoints (pseudo text
+    embeddings + random MAGI-shaped ViT-VAE)."""
+    monkeypatch.setenv("SKIP_LOAD_MODEL", "1")
+    from magi_tpu.pipeline import video_process
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+
+    video_process._vae_cache.clear()
+    out = str(tmp_path / "out_nockpt.mp4")
+    MagiPipeline(tiny_config_json(tmp_path)).run_text_to_video("a red cube", out)
+    assert _check_video(out) == 16
+    video_process._vae_cache.clear()
