@@ -84,7 +84,9 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
 
     hq, hk = q.shape[1], k.shape[1]
     assert hq % n_shards == 0 and hk % n_shards == 0, (
-        f"heads ({hq}q/{hk}kv) must divide cp*tp={n_shards}"
+        f"heads ({hq}q/{hk}kv) must divide cp*pp*tp={n_shards} — MAGI's 8 kv "
+        f"groups cap head-sharded model parallelism at 8 ways (the reference "
+        f"tops out at 8 GPUs for the same reason, README.md:201)"
     )
     heads = mesh_lib.HEAD_AXES
     spec = P(None, heads, None)

@@ -199,3 +199,34 @@ def test_int8_sharded_walk_close_to_single_device(eight_devices):
     assert len(ref) == len(got) == 2
     for r, g in zip(ref, got):
         np.testing.assert_allclose(r, g, atol=2e-2, rtol=2e-2)
+
+
+def test_pp_gather_layer_unit(eight_devices):
+    """pp_gather_layer materializes exactly layer i from the pp-sharded
+    stack on every rank, for f32 and int8 leaves."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_lib.build_mesh(pp=2, cp=2, tp=2, devices=eight_devices)
+    mesh_lib.set_mesh(mesh)
+    L = 4
+    blocks = {
+        "w": jnp.arange(L * 8 * 8, dtype=jnp.float32).reshape(L, 8, 8),
+        "q": (jnp.arange(L * 8, dtype=jnp.int32) % 127 - 63).astype(jnp.int8).reshape(L, 8),
+    }
+    blocks = {
+        k: jax.device_put(v, NamedSharding(mesh, P("pp", *([None] * (v.ndim - 1)))))
+        for k, v in blocks.items()
+    }
+
+    @jax.jit
+    def gather(blocks, i):
+        return mesh_lib.pp_gather_layer(blocks, i)
+
+    for i in range(L):
+        got = gather(blocks, jnp.int32(i))
+        np.testing.assert_array_equal(np.asarray(got["w"]), np.asarray(blocks["w"][i]))
+        # int8 leaves come back as bf16 (exact for the int8 range)
+        assert got["q"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(got["q"], np.float32), np.asarray(blocks["q"][i], np.float32)
+        )
