@@ -230,3 +230,21 @@ def test_pp_gather_layer_unit(eight_devices):
         np.testing.assert_array_equal(
             np.asarray(got["q"], np.float32), np.asarray(blocks["q"][i], np.float32)
         )
+
+
+def test_24b_architecture_shapes_sharded_walk(eight_devices):
+    """24B-ARCHITECTURE ratios on the 24B reference mesh layout
+    (pp2 x cp2 x tp2 ~ ref pp2 x cp4, README.md:201): 48 layers scanned
+    under pp layer-FSDP, GQA 48q/8kv (q_per_kv=6 folding), hidden scaled
+    down.  Sharded walk == single-device walk."""
+    cfg = tiny_config(
+        model={"num_attention_heads": 48, "num_query_groups": 8,
+               "hidden_size": 48 * 16, "ffn_hidden_size": 2 * 48 * 16,
+               "kv_channels": 16, "num_layers": 48},
+        engine={"pp_size": 2, "cp_size": 2, "tp_size": 2},
+    )
+    ref = run_walk(cfg, sharded=False, eight_devices=eight_devices)
+    got = run_walk(cfg, sharded=True, eight_devices=eight_devices)
+    assert len(ref) == len(got) == 2
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=4e-4, rtol=4e-4)
