@@ -63,18 +63,22 @@ def _use_pallas_qmm() -> bool:
     return _use_pallas() and model_parallel_trivial()
 
 
-def _attention(q, k, v, kv_start, kv_end, *, seg_len):
+def _attention(q, k, v, kv_start, kv_end, *, seg_len, q_pro=None):
     """Dispatch: Pallas kernel on TPU, dense jnp elsewhere; head-sharded
     shard_map under a non-trivial mesh (Ulysses — the seq<->head reshard at
     this boundary is the all_to_all of ref: context_parallel.py:381-423,
-    emitted by XLA from the sharding specs)."""
+    emitted by XLA from the sharding specs).  `q_pro` (Pallas only): the
+    kernel's fused q-norm(+rope) prologue inputs — q arrives RAW."""
     from jax.sharding import PartitionSpec as P
 
     from magi_tpu.parallel import mesh as mesh_lib
 
     if _use_pallas():
-        impl = functools.partial(segmented_attention_v2, block_q=512, block_k=1024)
+        impl = functools.partial(
+            segmented_attention_v2, block_q=512, block_k=1024, q_prologue=q_pro
+        )
     else:
+        assert q_pro is None  # reference path normalizes/ropes outside
         impl = segmented_attention_reference
 
     mesh = mesh_lib.get_mesh()
@@ -93,14 +97,38 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len):
     # manual over cp/pp/tp: dp (request batching) stays auto, so this nests
     # inside DpBatchedSampler's dp-manual shard_map (ref dp groups
     # coexisting with cp/pp, parallel_state.py:332)
+    if q_pro is None:
+        fn = jax.shard_map(
+            functools.partial(impl, seg_len=seg_len),
+            mesh=mesh_lib.shard_map_mesh(),
+            in_specs=(spec, spec, spec, P(), P()),
+            out_specs=spec,
+            axis_names=set(heads),
+        )
+        return _reshard_heads_to_tokens(fn(q, k, v, kv_start, kv_end))
+
+    qw, qb, sin, cos, ln_eps = q_pro
+    has_rope = sin is not None
+    extra = (qw, qb, sin, cos) if has_rope else (qw, qb)
+
+    def sharded(qq, kk, vv, a, b, *pro):
+        if has_rope:
+            w_, b_, s_, c_ = pro
+        else:
+            (w_, b_), s_, c_ = pro, None, None
+        return segmented_attention_v2(
+            qq, kk, vv, a, b, seg_len=seg_len, block_q=512, block_k=1024,
+            q_prologue=(w_, b_, s_, c_, ln_eps),
+        )
+
     fn = jax.shard_map(
-        functools.partial(impl, seg_len=seg_len),
+        sharded,
         mesh=mesh_lib.shard_map_mesh(),
-        in_specs=(spec, spec, spec, P(), P()),
+        in_specs=(spec, spec, spec, P(), P()) + tuple(P() for _ in extra),
         out_specs=spec,
         axis_names=set(heads),
     )
-    return _reshard_heads_to_tokens(fn(q, k, v, kv_start, kv_end))
+    return _reshard_heads_to_tokens(fn(q, k, v, kv_start, kv_end, *extra))
 
 
 def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=None):
@@ -304,10 +332,10 @@ def attention_forward(
 
     # --- self-attn q/k/v with fp32 QK-norm + rope (ref: dit_module.py:953-1003) ---
     q = q.reshape(S, hq, hd)
-    # On the Pallas cached path the fp32 q-norm + rotary run INSIDE the
-    # kernel prologue (saves the f32 materialization + layout copies —
-    # ~14% of a step, docs/perf_notes.md); elsewhere they run here.
-    fuse_q = meta.use_kv_cache and _use_pallas()
+    # On the Pallas paths the fp32 q-norm + rotary run INSIDE the kernel
+    # prologue (saves the f32 materialization + layout copies — ~14% of a
+    # step, docs/perf_notes.md); elsewhere they run here.
+    fuse_q = _use_pallas() and hd % 128 == 0
     if fuse_q:
         qw = p["q_layernorm"]["weight"].astype(jnp.float32) + (1.0 if zc else 0.0)
         qb = p["q_layernorm"]["bias"].astype(jnp.float32)
@@ -352,12 +380,24 @@ def attention_forward(
         )
     else:
         new_cache_l = cache_l
-        core = _attention(q, k, v, meta.self_attn.kv_start, meta.self_attn.kv_end, seg_len=ctn)
+        core = _attention(
+            q, k, v, meta.self_attn.kv_start, meta.self_attn.kv_end,
+            seg_len=ctn, q_pro=q_pro,
+        )
     core = core.reshape(S, hq * hd)
 
     # --- cross-attn (ref: dit_module.py:1005-1021, 1098-1136) ---
     qx = qx.reshape(S, hq, hd)
-    qx = layer_norm(qx, p["q_layernorm_xattn"], eps, zc)
+    if fuse_q:
+        # norm-only fused prologue (the caption cross-attention has no rope,
+        # ref: dit_module.py:1005-1021)
+        qxw = p["q_layernorm_xattn"]["weight"].astype(jnp.float32) + (1.0 if zc else 0.0)
+        qxb = p["q_layernorm_xattn"]["bias"].astype(jnp.float32)
+        qx_pro = (qxw, qxb, None, None, eps)
+        qx = qx.astype(x.dtype)
+    else:
+        qx_pro = None
+        qx = layer_norm(qx, p["q_layernorm_xattn"], eps, zc)
 
     L = y_xattn.shape[1]
     y_flat = y_xattn.reshape(n_seg * L, -1).astype(x.dtype)
@@ -368,7 +408,7 @@ def attention_forward(
 
     x_starts = jnp.arange(n_seg, dtype=jnp.int32) * L
     x_ends = x_starts + meta.y_lens.astype(jnp.int32)
-    xattn = _attention(qx, k_x, v_x, x_starts, x_ends, seg_len=ctn)
+    xattn = _attention(qx, k_x, v_x, x_starts, x_ends, seg_len=ctn, q_pro=qx_pro)
     xattn = xattn.reshape(S, hq * hd)
 
     return core, xattn, new_cache_l

@@ -262,6 +262,25 @@ def segmented_attention(
     return out.reshape(total_q, hq, hd)
 
 
+def _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, *, rot: int, ln_eps: float):
+    """Fused q-side fp32 QK-layernorm (+ optional GPT-NeoX rotary when
+    sin/cos refs are given) — q arrives RAW from the projection; the
+    normed/roped tile is staged once into q_scr for the kv stream loop."""
+    qf = q_ref[0, 0].astype(jnp.float32)  # [q_per_kv, block_q, hd]
+    mean = jnp.mean(qf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(qf - mean), axis=-1, keepdims=True)
+    qn = (qf - mean) * lax.rsqrt(var + ln_eps)
+    qn = qn * qw_ref[0][None, None, :] + qb_ref[0][None, None, :]
+    if sin_ref is not None:
+        sin = sin_ref[0][None]  # [1, block_q, rot] f32
+        cos = cos_ref[0][None]
+        x1 = qn[..., :rot]
+        x2 = qn[..., rot : 2 * rot]
+        tail = qn[..., 2 * rot :]
+        qn = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1)
+    q_scr[...] = qn.reshape(q_scr.shape).astype(q_scr.dtype)
+
+
 def _seg_attn_kernel_v2(
     # scalar prefetch
     kv_start_ref,
@@ -270,19 +289,14 @@ def _seg_attn_kernel_v2(
     q_ref,  # [1, 1, q_per_kv, block_q, hd] VMEM — the whole GQA group
     k_hbm,  # [hk, kv_pad, hd] ANY/HBM
     v_hbm,  # [hk, kv_pad, hd] ANY/HBM
-    # outputs
-    o_ref,  # [1, 1, q_per_kv, block_q, hd]
-    # scratch
-    k_buf,  # [2, block_k, hd] VMEM
-    v_buf,  # [2, block_k, hd] VMEM
-    sems,  # DMA semaphores [2, 2]
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    # fused-prologue inputs + outputs + scratch (layout depends on fused mode)
+    *rest,
     sm_scale: float,
     block_k: int,
     q_per_kv: int,
+    fused_norm: bool = False,
+    fused_rot: int = 0,
+    ln_eps: float = 1e-6,
 ):
     """Inner-loop variant: kv tiles are streamed with double-buffered DMA
     over exactly [lo, hi) — no grid steps are spent on out-of-range tiles
@@ -293,7 +307,20 @@ def _seg_attn_kernel_v2(
     group share their kv stream, folded into the matmul row dimension — kv
     HBM traffic drops q_per_kv× (6× at 24B's 48q/8kv) and the qk matmul gets
     q_per_kv× taller rows.  This kernel is DMA-bound at MAGI shapes without
-    the fold (measured: DMA floor was 39% of runtime at 24B-720p w4)."""
+    the fold (measured: DMA floor was 39% of runtime at 24B-720p w4).
+
+    fused_norm / fused_rot: see _q_prologue — norm-only mode serves the
+    caption cross-attention (q_layernorm_xattn, no rope)."""
+    if fused_norm and fused_rot:
+        (qw_ref, qb_ref, sin_ref, cos_ref,
+         o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr, q_scr) = rest
+    elif fused_norm:
+        qw_ref, qb_ref, o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr, q_scr = rest
+        sin_ref = cos_ref = None
+    else:
+        o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr = rest
+        q_scr = None
+
     seg = pl.program_id(0)
     kv_head = pl.program_id(1)
 
@@ -305,6 +332,10 @@ def _seg_attn_kernel_v2(
     m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    if fused_norm:
+        _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                    rot=fused_rot, ln_eps=ln_eps)
 
     def dma(slot, tile):
         off = pl.multiple_of(tile * block_k, block_k)
@@ -320,7 +351,10 @@ def _seg_attn_kernel_v2(
 
         def tile_compute(i, slot, masked: bool):
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
-            q = q_ref[0, 0].reshape(rows, head_dim)
+            if q_scr is not None:
+                q = q_scr[...]
+            else:
+                q = q_ref[0, 0].reshape(rows, head_dim)
             k = k_buf[slot]
             s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s *= sm_scale * LOG2E  # exp2-domain softmax
@@ -397,6 +431,10 @@ def segmented_attention_v2(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    q_prologue=None,  # (qln_w f32 [hd] (+1 pre-applied), qln_b f32 [hd],
+    #                    sin|None [total_q, rot], cos|None, ln_eps):
+    #                    fused fp32 q-norm (+rotary when sin/cos given —
+    #                    norm-only serves the caption cross-attention)
 ) -> jax.Array:
     """Streaming-DMA variant of `segmented_attention` (same semantics)."""
     total_q, hq, hd = q.shape
@@ -405,6 +443,7 @@ def segmented_attention_v2(
     if hd % NUM_LANES != 0:
         # manual DMA slices must be lane-aligned; the grid variant's
         # BlockSpecs handle sub-128 head dims (e.g. the VAE's 64)
+        assert q_prologue is None, "fused q prologue needs head_dim % 128 == 0"
         return segmented_attention(
             q, k, v, kv_start, kv_end, seg_len=seg_len, sm_scale=sm_scale,
             block_q=block_q, block_k=min(block_k, 512), interpret=interpret,
@@ -436,26 +475,56 @@ def segmented_attention_v2(
     grid = (n_seg, hk, seg_pad // block_q)
     rows = q_per_kv * block_q
 
+    in_specs = [
+        pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, block_k, hd), k.dtype),
+        pltpu.VMEM((2, block_k, hd), v.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+        pltpu.VMEM((rows, NUM_LANES), jnp.float32),
+        pltpu.VMEM((rows, hd), jnp.float32),
+    ]
+    operands = [q_r, k_r, v_r]
+    fused_norm, fused_rot, ln_eps = False, 0, 1e-6
+    if q_prologue is not None:
+        qln_w, qln_b, sin_q, cos_q, ln_eps = q_prologue
+        fused_norm = True
+        operands += [
+            qln_w.astype(jnp.float32).reshape(1, hd),
+            qln_b.astype(jnp.float32).reshape(1, hd),
+        ]
+        in_specs += [
+            pl.BlockSpec((1, hd), lambda s, g, qt, *_: (0, 0)),
+            pl.BlockSpec((1, hd), lambda s, g, qt, *_: (0, 0)),
+        ]
+        if sin_q is not None:
+            rot = sin_q.shape[-1]
+            fused_rot = int(rot)
+            assert 2 * rot <= hd
+            for t in (sin_q, cos_q):
+                t = t.astype(jnp.float32).reshape(n_seg, seg_len, rot)
+                if seg_pad != seg_len:
+                    t = jnp.pad(t, ((0, 0), (0, seg_pad - seg_len), (0, 0)))
+                operands.append(t)
+                in_specs.append(
+                    pl.BlockSpec((1, block_q, rot), lambda s, g, qt, *_: (s, qt, 0))
+                )
+        scratch_shapes.append(pltpu.VMEM((rows, hd), q.dtype))
+
     kernel = functools.partial(
-        _seg_attn_kernel_v2, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv
+        _seg_attn_kernel_v2, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv,
+        fused_norm=fused_norm, fused_rot=fused_rot, ln_eps=float(ln_eps),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_k, hd), k.dtype),
-            pltpu.VMEM((2, block_k, hd), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, NUM_LANES), jnp.float32),
-            pltpu.VMEM((rows, hd), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,
@@ -465,7 +534,7 @@ def segmented_attention_v2(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), q_r, k_r, v_r)
+    )(kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), *operands)
 
     out = out.reshape(n_seg, hq, seg_pad, hd).transpose(0, 2, 1, 3)
     if seg_pad != seg_len:
@@ -523,21 +592,8 @@ def _seg_attn_kernel_two_source(
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     if fused_rot:
-        rot = fused_rot
-        qf = q_ref[0, 0].astype(jnp.float32)  # [q_per_kv, block_q, hd]
-        mean = jnp.mean(qf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(qf - mean), axis=-1, keepdims=True)
-        qn = (qf - mean) * lax.rsqrt(var + ln_eps)
-        qn = qn * qw_ref[0][None, None, :] + qb_ref[0][None, None, :]
-        sin = sin_ref[0][None]  # [1, block_q, rot] f32
-        cos = cos_ref[0][None]
-        x1 = qn[..., :rot]
-        x2 = qn[..., rot : 2 * rot]
-        tail = qn[..., 2 * rot :]
-        qn = jnp.concatenate(
-            [x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1
-        )
-        q_scr[...] = qn.reshape(q_scr.shape).astype(q_scr.dtype)
+        _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                    rot=fused_rot, ln_eps=ln_eps)
 
     def phase(src_hbm, start, end):
         lo = start // block_k

@@ -114,3 +114,34 @@ def test_random_ranges_fuzz(seed):
         starts.append(a)
         ends.append(b)
     check(rng, n_seg, seg_len, kv_len, 2, 1, 64, starts, ends, block_q=128, block_k=128)
+
+
+def test_v2_fused_q_prologue_norm_rope(rng):
+    """v2 kernel with fused fp32 q-layernorm + rotary (q RAW) == norm +
+    rope outside then the plain v2 kernel (interpret mode)."""
+    from magi_tpu.models.dit.model import layer_norm
+    from magi_tpu.models.dit.rope import apply_rotary
+    from magi_tpu.ops.attention import segmented_attention_v2
+
+    n_seg, ctn, kv_len, hq, hk, hd, rot = 2, 128, 256, 4, 2, 128, 48
+    q, k, v = make_qkv(rng, n_seg, ctn, kv_len, hq, hk, hd)
+    sin = jnp.asarray(rng.normal(size=(n_seg * ctn, rot)), jnp.float32)
+    cos = jnp.asarray(rng.normal(size=(n_seg * ctn, rot)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(hd,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(hd,)) * 0.1, jnp.float32)
+    ks = jnp.asarray([0, 64], jnp.int32)
+    ke = jnp.asarray([200, 256], jnp.int32)
+    V2 = functools.partial(segmented_attention_v2, interpret=True,
+                           block_q=128, block_k=128, seg_len=ctn)
+
+    qn = layer_norm(q, {"weight": w, "bias": b}, 1e-6, compute_dtype=jnp.float32)
+    qn = apply_rotary(qn, sin, cos)
+    want = V2(qn, k, v, ks, ke)
+    got = V2(q, k, v, ks, ke, q_prologue=(w, b, sin, cos, 1e-6))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    # norm-only mode (the caption cross-attention path: no rope)
+    want2 = V2(layer_norm(q, {"weight": w, "bias": b}, 1e-6, compute_dtype=jnp.float32),
+               k, v, ks, ke)
+    got2 = V2(q, k, v, ks, ke, q_prologue=(w, b, None, None, 1e-6))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-5, rtol=2e-5)
