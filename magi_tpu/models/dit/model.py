@@ -236,7 +236,7 @@ def _pdot(x, p: dict, high_precision: bool = False):
     return _dot(x, p["weight"], high_precision)
 
 
-def _linears_shared(x, plist, act_ok, high_precision: bool = False):
+def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = "col"):
     """Apply several linears to one shared input.  When params carry int8
     weights and `act_ok` is true, `x` is dynamically quantized ONCE (per-row
     scales, amortized over all matmuls in plist) and each matmul runs
@@ -244,7 +244,15 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False):
     activation quantization (div_clamp_to + bmm_fp8, ref:
     dit_module.py:364-384, 431-460).  Layers 0 and L-1 pass act_ok=False and
     keep bf16 activations over dequantized weights, mirroring the
-    reference's first/last-layer bf16 policy (ref: dit_module.py:407)."""
+    reference's first/last-layer bf16 policy (ref: dit_module.py:407).
+
+    `kind` ("col"/"row") is the Megatron role under a model-parallel mesh:
+    col-parallel linears keep int8 activation execution there (a tp-manual
+    shard_map with NO collectives — x is tp-replicated, outputs stay
+    feature-sharded); row-parallel linears fall back to weight-only dequant
+    dots, because the partitioned int8 contraction's int32 all-reduce
+    inside the layer-scan while-loop crashes XLA's all-reduce code-motion
+    pass (CloneAllReduce: 'Invalid binary instruction opcode copy')."""
     if "weight_q" not in plist[0]:
         return tuple(_dot(x, pp["weight"], high_precision) for pp in plist)
 
@@ -265,17 +273,47 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False):
             qmm_deq(xx, pp["weight_q"], pp["weight_scale"]).astype(xx.dtype) for pp in plist
         )
 
-    from magi_tpu.parallel.mesh import model_parallel_trivial
+    from magi_tpu.parallel import mesh as mesh_lib
 
-    if not model_parallel_trivial():
-        # Under a model-parallel mesh, int8 runs weight-only (stored int8,
-        # dequant fused into the f32/bf16 dot): the SPMD partitioner's
-        # row-parallel contraction would otherwise insert an int32
-        # all-reduce inside the layer-scan while-loop, which crashes XLA's
-        # all-reduce code-motion pass (CloneAllReduce: "Invalid binary
-        # instruction opcode copy").  Memory win is kept; the int8-MXU
-        # speed path stays single-chip/dp-only until that is fixed.
-        return deq_branch(x)
+    if not mesh_lib.model_parallel_trivial():
+        mesh = mesh_lib.get_mesh()
+        if kind != "col" or mesh.shape[mesh_lib.AXIS_TP] == 1:
+            return deq_branch(x)
+        from jax.sharding import PartitionSpec as P
+
+        # Pallas qmm is fine INSIDE the manual region (operands are local);
+        # under pp the gathered weight_q rides as bf16 (exact ints) and is
+        # recast for the int8 MXU path.
+        use_pallas_sharded = _use_pallas()
+        qmm_i8_s = quantized_matmul_i8 if use_pallas_sharded else quantized_matmul_i8_reference
+        wqs = [pp["weight_q"] for pp in plist]
+        scs = [pp["weight_scale"] for pp in plist]
+
+        def inner(xx, wq_list, sc_list):
+            xq, rs = act_quant_rowwise(xx)
+            out = []
+            for wq, sc in zip(wq_list, sc_list):
+                if wq.dtype != jnp.int8:
+                    wq = wq.astype(jnp.int8)
+                out.append(qmm_i8_s(xq, rs, wq, sc, out_dtype=xx.dtype))
+            return tuple(out)
+
+        def col_i8_branch(xx):
+            fn = jax.shard_map(
+                inner,
+                mesh=mesh_lib.shard_map_mesh(),
+                in_specs=(
+                    P(),
+                    [P(None, mesh_lib.AXIS_TP)] * len(plist),
+                    [P(mesh_lib.AXIS_TP)] * len(plist),
+                ),
+                out_specs=tuple([P(None, mesh_lib.AXIS_TP)] * len(plist)),
+                axis_names={mesh_lib.AXIS_TP},
+                check_vma=False,
+            )
+            return fn(xx, wqs, scs)
+
+        return lax.cond(act_ok, col_i8_branch, deq_branch, x)
 
     def i8_branch(xx):
         xq, rs = act_quant_rowwise(xx)
@@ -447,7 +485,7 @@ def layer_forward(
     attn_out = attn_out.reshape(S, 2, 8, two_d // 16).transpose(0, 2, 1, 3).reshape(S, two_d)
     (attn_out,) = _linears_shared(
         attn_out, [p["self_attention"]["linear_proj"]], act_quant_ok,
-        high_precision=high_precision,
+        high_precision=high_precision, kind="row",
     )
     attn_out = attn_out.astype(x.dtype)
 
@@ -466,7 +504,7 @@ def layer_forward(
         h = jax.nn.silu(h[..., :d].astype(jnp.float32)).astype(h.dtype) * h[..., d:]
     else:
         h = jax.nn.gelu(h, approximate=False)
-    (h,) = _linears_shared(h, [p["mlp"]["linear_fc2"]], act_quant_ok)
+    (h,) = _linears_shared(h, [p["mlp"]["linear_fc2"]], act_quant_ok, kind="row")
     x = _bias_modulate_add(h, residual, gate_mlp, p["mlp_post_norm"], eps, zc, meta.n_segments)
     x = constraint(x, SEQ_AXES, None)
     return x, new_cache_l
