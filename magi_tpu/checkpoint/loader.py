@@ -90,10 +90,27 @@ def _dequant_fp8(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def _fold_tp8_interleave(arr: np.ndarray) -> np.ndarray:
+    """Fold the reference's runtime TP8-legacy head interleave into
+    linear_proj's input rows.  The reference permutes concat(core, xattn)
+    as reshape(S, 2, 8, 2D/16) -> transpose(0, 2, 1, 3) before the fused
+    projection (training-TP8 legacy, ref: dit_module.py:1332-1338);
+    permuting the weight's input rows once at load time is mathematically
+    identical and deletes a [S, 2D] relayout copy per layer per forward.
+    arr: [..., in=2*hq*hd, out] (post-transpose layout)."""
+    two_d = arr.shape[-2]
+    assert two_d % 16 == 0, two_d
+    # perm[i] = row of the reference weight that our un-permuted activation
+    # column i multiplies: inverse of the runtime interleave permutation
+    perm = np.arange(two_d).reshape(8, 2, two_d // 16).transpose(1, 0, 2).reshape(-1)
+    return arr[..., perm, :]
+
+
 def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
     """torch key names -> our pytree.  Linear weights transpose to [in,out];
     Conv3d patch embed flattens to a matmul; per-layer tensors stack on a
-    leading layer axis for `lax.scan`."""
+    leading layer axis for `lax.scan`; linear_proj input rows absorb the
+    TP8-legacy head interleave (`_fold_tp8_interleave`)."""
     mc = config.model_config
     L = mc.num_layers
     dtype = mc.params_dtype
@@ -113,9 +130,11 @@ def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
     def lin_T(name: str, dt) -> jnp.ndarray:
         return _host_cast(g(name).T, dt)
 
-    def stacked(fmt: str, transpose: bool, dt) -> jnp.ndarray:
+    def stacked(fmt: str, transpose: bool, dt, transform=None) -> jnp.ndarray:
         mats = [np.asarray(state[fmt.format(i)], np.float32) for i in range(L)]
         arr = np.stack([m.T if transpose else m for m in mats])
+        if transform is not None:
+            arr = transform(arr)
         return _host_cast(arr, dt)
 
     def stacked_norm(fmt: str, dt=jnp.float32) -> dict:
@@ -149,7 +168,9 @@ def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
             "q_layernorm_xattn": stacked_norm(att + "q_layernorm_xattn", dtype),
             "k_layernorm_xattn": stacked_norm(att + "k_layernorm_xattn", dtype),
             "linear_kv_xattn": {"weight": stacked(att + "linear_kv_xattn.weight", True, dtype)},
-            "linear_proj": {"weight": stacked(att + "linear_proj.weight", True, dtype)},
+            "linear_proj": {
+                "weight": stacked(att + "linear_proj.weight", True, dtype, _fold_tp8_interleave)
+            },
         },
         "self_attn_post_norm": stacked_norm(blk + "self_attn_post_norm"),
         "mlp": {

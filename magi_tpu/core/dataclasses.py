@@ -14,7 +14,7 @@ condition maps we keep:
 
 `InferenceParams`' mutable per-layer dict (ref: dataclass.py:62-83) becomes
 an explicit stacked KV-cache array threaded through `lax.scan` — see
-models/dit/kv_cache.py.
+`init_kv_cache` / `attention_forward` in models/dit/model.py.
 """
 
 from __future__ import annotations

@@ -88,9 +88,10 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len, q_pro=None):
 
     hq, hk = q.shape[1], k.shape[1]
     assert hq % n_shards == 0 and hk % n_shards == 0, (
-        f"heads ({hq}q/{hk}kv) must divide cp*pp*tp={n_shards} — MAGI's 8 kv "
-        f"groups cap head-sharded model parallelism at 8 ways (the reference "
-        f"tops out at 8 GPUs for the same reason, README.md:201)"
+        f"heads ({hq}q/{hk}kv) must divide cp*pp*tp={n_shards}; when "
+        f"n_shards > kv heads the caller replicates kv heads first "
+        f"(mesh.kv_replication — the reference's cp>kv_heads replication, "
+        f"context_parallel.py:393-394)"
     )
     heads = mesh_lib.HEAD_AXES
     spec = P(None, heads, None)
@@ -223,36 +224,38 @@ def _dot(x, w, high_precision: bool = False):
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _pdot(x, p: dict, high_precision: bool = False):
-    """Linear through a param dict: bf16 `weight`, or int8 `weight_q` +
-    per-channel `weight_scale` (the quantized execution path — TPU-native
-    analog of the reference's fp8 linears, ref: dit_module.py:431-487)."""
-    if "weight_q" in p:
-        from magi_tpu.ops.quant import quantized_matmul, quantized_matmul_reference
-
-        if _use_pallas_qmm():
-            return quantized_matmul(x, p["weight_q"], p["weight_scale"]).astype(x.dtype)
-        return quantized_matmul_reference(x, p["weight_q"], p["weight_scale"]).astype(x.dtype)
-    return _dot(x, p["weight"], high_precision)
-
-
 def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = "col"):
-    """Apply several linears to one shared input.  When params carry int8
-    weights and `act_ok` is true, `x` is dynamically quantized ONCE (per-row
+    """Apply several linears to one shared input — the single dispatch path
+    for every DiT linear: bf16 `weight`, or int8 `weight_q` + per-channel
+    `weight_scale` (the quantized execution path — TPU-native analog of the
+    reference's fp8 linears, ref: dit_module.py:431-487).
+
+    When params carry int8 weights and `act_ok` is true, `x` is dynamically quantized ONCE (per-row
     scales, amortized over all matmuls in plist) and each matmul runs
     int8 x int8 -> int32 on the MXU — the TPU analog of the reference's fp8
     activation quantization (div_clamp_to + bmm_fp8, ref:
-    dit_module.py:364-384, 431-460).  Layers 0 and L-1 pass act_ok=False and
-    keep bf16 activations over dequantized weights, mirroring the
-    reference's first/last-layer bf16 policy (ref: dit_module.py:407).
+    dit_module.py:364-384, 431-460).  Layers 0 and L-1 run fully bf16
+    (weights AND activations, via the blocks_edge side tree — see
+    quantize_params_int8), mirroring the reference's first/last-layer
+    policy (ref: dit_module.py:407).  `act_ok` may be a static Python bool
+    (dit_forward's lax.cond routing makes it static per branch) or a traced
+    bool (legacy trees without blocks_edge).
 
-    `kind` ("col"/"row") is the Megatron role under a model-parallel mesh:
-    col-parallel linears keep int8 activation execution there (a tp-manual
-    shard_map with NO collectives — x is tp-replicated, outputs stay
-    feature-sharded); row-parallel linears fall back to weight-only dequant
-    dots, because the partitioned int8 contraction's int32 all-reduce
-    inside the layer-scan while-loop crashes XLA's all-reduce code-motion
-    pass (CloneAllReduce: 'Invalid binary instruction opcode copy')."""
+    `kind` ("col"/"row") is the Megatron role under a model-parallel mesh.
+    Both keep int8 activation execution there via a manual shard_map
+    (matching the reference's fp8 coverage of ALL eight linears,
+    ref: dit_module.py:481-487, 535-551):
+      * col: x seq-sharded/tp-replicated, weights column-sharded — NO
+        collectives; outputs stay feature-sharded.
+      * row: x tp-feature-sharded, weights row-sharded — the act-quant
+        rowmax takes a pmax over tp first, each shard runs a local int8
+        dot, and the f32-SCALED partial sums psum over tp (an int32
+        all-reduce inside the layer-scan while-loop crashes XLA's
+        all-reduce code-motion pass — f32 partials sidestep it and carry
+        the scales anyway).
+    The shard_map goes manual over cp/pp too whenever the token count
+    divides (otherwise the opaque-to-SPMD Pallas qmm would force
+    replication of the seq-sharded activations)."""
     if "weight_q" not in plist[0]:
         return tuple(_dot(x, pp["weight"], high_precision) for pp in plist)
 
@@ -277,9 +280,20 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
 
     if not mesh_lib.model_parallel_trivial():
         mesh = mesh_lib.get_mesh()
-        if kind != "col" or mesh.shape[mesh_lib.AXIS_TP] == 1:
-            return deq_branch(x)
         from jax.sharding import PartitionSpec as P
+
+        tp_size = mesh.shape[mesh_lib.AXIS_TP]
+        seq_size = mesh_lib.seq_shards(mesh)
+        S = x.shape[0]
+        seq_manual = seq_size > 1 and S % seq_size == 0
+        xrow = mesh_lib.SEQ_AXES if seq_manual else None
+        manual_axes = set(mesh_lib.HEAD_AXES) if seq_manual else {mesh_lib.AXIS_TP}
+
+        eligible = (tp_size > 1 or seq_manual) and (
+            kind == "col" or x.shape[1] % max(tp_size, 1) == 0
+        )
+        if not eligible:
+            return deq_branch(x)
 
         # Pallas qmm is fine INSIDE the manual region (operands are local);
         # under pp the gathered weight_q rides as bf16 (exact ints) and is
@@ -289,7 +303,7 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
         wqs = [pp["weight_q"] for pp in plist]
         scs = [pp["weight_scale"] for pp in plist]
 
-        def inner(xx, wq_list, sc_list):
+        def inner_col(xx, wq_list, sc_list):
             xq, rs = act_quant_rowwise(xx)
             out = []
             for wq, sc in zip(wq_list, sc_list):
@@ -298,22 +312,54 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
                 out.append(qmm_i8_s(xq, rs, wq, sc, out_dtype=xx.dtype))
             return tuple(out)
 
-        def col_i8_branch(xx):
+        def inner_row(xx, wq_list, sc_list):
+            xf = xx.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=1)
+            if tp_size > 1:
+                amax = lax.pmax(amax, mesh_lib.AXIS_TP)  # global rowmax over the split K
+            scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+            xq = jnp.clip(jnp.round(xf / scale[:, None]), -127, 127).astype(jnp.int8)
+            out = []
+            for wq, sc in zip(wq_list, sc_list):
+                if wq.dtype != jnp.int8:
+                    wq = wq.astype(jnp.int8)
+                part = qmm_i8_s(xq, scale, wq, sc, out_dtype=jnp.float32)
+                if tp_size > 1:
+                    part = lax.psum(part, mesh_lib.AXIS_TP)  # f32-scaled partials
+                out.append(part.astype(xx.dtype))
+            return tuple(out)
+
+        if kind == "col":
+            inner = inner_col
+            in_specs = (
+                P(xrow, None),
+                [P(None, mesh_lib.AXIS_TP)] * len(plist),
+                [P(mesh_lib.AXIS_TP)] * len(plist),
+            )
+            out_specs = tuple([P(xrow, mesh_lib.AXIS_TP)] * len(plist))
+        else:
+            inner = inner_row
+            in_specs = (
+                P(xrow, mesh_lib.AXIS_TP),
+                [P(mesh_lib.AXIS_TP, None)] * len(plist),
+                [P()] * len(plist),
+            )
+            out_specs = tuple([P(xrow, None)] * len(plist))
+
+        def i8_mesh_branch(xx):
             fn = jax.shard_map(
                 inner,
                 mesh=mesh_lib.shard_map_mesh(),
-                in_specs=(
-                    P(),
-                    [P(None, mesh_lib.AXIS_TP)] * len(plist),
-                    [P(mesh_lib.AXIS_TP)] * len(plist),
-                ),
-                out_specs=tuple([P(None, mesh_lib.AXIS_TP)] * len(plist)),
-                axis_names={mesh_lib.AXIS_TP},
+                in_specs=in_specs,
+                out_specs=out_specs,
+                axis_names=manual_axes,
                 check_vma=False,
             )
             return fn(xx, wqs, scs)
 
-        return lax.cond(act_ok, col_i8_branch, deq_branch, x)
+        if isinstance(act_ok, bool):
+            return i8_mesh_branch(x) if act_ok else deq_branch(x)
+        return lax.cond(act_ok, i8_mesh_branch, deq_branch, x)
 
     def i8_branch(xx):
         xq, rs = act_quant_rowwise(xx)
@@ -322,7 +368,25 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
             for pp in plist
         )
 
+    if isinstance(act_ok, bool):
+        return i8_branch(x) if act_ok else deq_branch(x)
     return lax.cond(act_ok, i8_branch, deq_branch, x)
+
+
+def _merge_edge(blk: dict, edge: dict) -> dict:
+    """Substitute a quantized layer tree's {weight_q, weight_scale} nodes
+    with the bf16 {weight} from the blocks_edge side tree (the reference's
+    full-bf16 first/last-layer policy, ref: dit_module.py:407)."""
+    out = {}
+    for k, v in blk.items():
+        if isinstance(v, dict):
+            if "weight_q" in v:
+                out[k] = {"weight": edge[k]["weight"]}
+            else:
+                out[k] = _merge_edge(v, edge.get(k, {}))
+        else:
+            out[k] = v
+    return out
 
 
 def _bias_modulate_add(x, residual, gate, post_norm_params, eps, zero_centered, n_seg):
@@ -389,7 +453,17 @@ def attention_forward(
     k = apply_rotary(k, sin, cos).astype(x.dtype)
 
     v = v.reshape(S, hk, hd)
-    kv = jnp.stack([k, v], axis=0)  # [2, S, hk, hd]
+
+    # GQA kv-head replication when head shards > kv heads (lifts the 8-way
+    # Ulysses cap; ref: context_parallel.py:393-394).  The KV cache stores
+    # the replicated heads so it shards evenly over the head axes.
+    from magi_tpu.parallel import mesh as mesh_lib
+
+    rep = mesh_lib.kv_replication(hq, hk)
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    kv = jnp.stack([k, v], axis=0)  # [2, S, hk*rep, hd]
 
     # --- KV cache (ref: dit_module.py:891-946) ---
     # The global ranges [s, e) span cache tokens [0, C0) followed by the
@@ -441,6 +515,8 @@ def attention_forward(
     y_flat = y_xattn.reshape(n_seg * L, -1).astype(x.dtype)
     (kv_x,) = _linears_shared(y_flat, [p["linear_kv_xattn"]], act_quant_ok)
     kv_x = kv_x.reshape(n_seg * L, hk, 2 * hd)
+    if rep > 1:
+        kv_x = jnp.repeat(kv_x, rep, axis=1)
     k_x = layer_norm(kv_x[..., :hd], p["k_layernorm_xattn"], eps, zc)
     v_x = kv_x[..., hd:]
 
@@ -478,11 +554,11 @@ def layer_forward(
         act_quant_ok,
     )
 
-    # concat + TP8-legacy head interleave (ref: dit_module.py:1332-1338)
-    S = x.shape[0]
+    # concat only — the reference's TP8-legacy head interleave
+    # (ref: dit_module.py:1332-1338) is folded into linear_proj's weight
+    # rows at load time (checkpoint/loader._fold_tp8_interleave), so no
+    # runtime relayout copy happens here
     attn_out = jnp.concatenate([core, xattn], axis=-1)  # [S, 2*hq*hd]
-    two_d = attn_out.shape[-1]
-    attn_out = attn_out.reshape(S, 2, 8, two_d // 16).transpose(0, 2, 1, 3).reshape(S, two_d)
     (attn_out,) = _linears_shared(
         attn_out, [p["self_attention"]["linear_proj"]], act_quant_ok,
         high_precision=high_precision, kind="row",
@@ -532,24 +608,22 @@ def unpatchify(x: jnp.ndarray, cfg: ModelConfig, T_patch: int, H: int, W: int) -
     return x.reshape(C, T_patch * tp, H * p, W * p)
 
 
-def dit_forward(
+def dit_prologue(
     params: dict,
     config: MagiConfig,
     x: jnp.ndarray,  # [C, T, H, W] latent (fp32 or bf16)
     t: jnp.ndarray,  # [n_seg] timesteps
     y: jnp.ndarray,  # [n_seg, L, caption_channels]
     caption_dropout: jnp.ndarray,  # scalar bool
-    kv_cache: jnp.ndarray,  # [num_layers, max_tok, hk, 2*hd]
     meta: ForwardMeta,
     t_offsets: jnp.ndarray,  # int32 [n_seg] temporal patch-grid offsets
     distill_factor: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full DiT forward (ref: dit_model.py:114-398).
-    Returns (velocity [C_out(base), T, H, W], new_kv_cache)."""
+):
+    """Embedding + meta stage, fp32 island (ref: dit_model.py:114-339).
+    Returns (h [S, D], condition, y_xattn, sin, cos)."""
     mc = config.model_config
     ec = config.engine_config
 
-    # --- pre-process, fp32 island (ref: dit_model.py:263-339) ---
     x = x.astype(jnp.float32) * mc.x_rescale_factor
     if mc.half_channel_vae:
         x = jnp.concatenate([x, x], axis=0)  # (ref: dit_model.py:271-274)
@@ -583,11 +657,116 @@ def dit_forward(
     y_xattn = replicated(y_xattn)
 
     h = tokens.astype(mc.params_dtype)
+    return h, condition, y_xattn, sin, cos
+
+
+def dit_epilogue(params: dict, config: MagiConfig, h: jnp.ndarray, Tp: int, Hp: int, Wp: int):
+    """Final fused LN + fp32 final linear + unpatchify
+    (ref: dit_model.py:341-360)."""
+    mc = config.model_config
+    h = layer_norm(h.astype(jnp.float32), params["final_layernorm"], mc.layernorm_epsilon, mc.apply_layernorm_1p)
+    out = final_linear_forward(params["final_linear"], h)
+    out = unpatchify(out, mc, Tp, Hp, Wp)
+    if mc.half_channel_vae:
+        out = out[: mc.out_channels // 2]  # (ref: dit_model.py:354-356, 32->16)
+    return out / mc.x_rescale_factor
+
+
+def _apply_layer_routed(blk, edge, config, hh, cache_l, idx, condition, y_xattn, sin, cos, meta):
+    """One transformer layer with the quantized-tree routing: middle
+    layers run int8 weights + int8 activation quant; layers 0 / L-1 run
+    FULL bf16 via the blocks_edge side tree (ref: dit_module.py:407).
+    Shared by the in-jit lax.scan (dit_forward) and the host-streamed
+    per-layer loop (dit_layer_step)."""
+    mc = config.model_config
+    ec = config.engine_config
+    kw = dict(high_precision=ec.high_precision_matmul)
+    if edge is None:
+        act_ok = jnp.logical_and(idx > 0, idx < mc.num_layers - 1)
+        return layer_forward(
+            blk, mc, hh, condition, y_xattn, sin, cos, cache_l, meta,
+            act_quant_ok=act_ok, **kw,
+        )
+    is_edge = jnp.logical_or(idx == 0, idx == mc.num_layers - 1)
+
+    def quant_branch(ops):
+        hh_, cl = ops
+        return layer_forward(
+            blk, mc, hh_, condition, y_xattn, sin, cos, cl, meta,
+            act_quant_ok=True, **kw,
+        )
+
+    def edge_branch(ops):
+        hh_, cl = ops
+        ew = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(idx == 0, a, b), edge["first"], edge["last"]
+        )
+        return layer_forward(
+            _merge_edge(blk, ew), mc, hh_, condition, y_xattn, sin, cos, cl, meta,
+            act_quant_ok=False, **kw,
+        )
+
+    return lax.cond(is_edge, edge_branch, quant_branch, (hh, cache_l))
+
+
+def dit_layer_step(
+    params: dict,
+    config: MagiConfig,
+    idx: jnp.ndarray,  # int32 scalar layer index
+    h: jnp.ndarray,
+    cache_l: jnp.ndarray,  # [2, max_tok, hk, hd] — THIS layer's cache slab
+    condition: jnp.ndarray,
+    y_xattn: jnp.ndarray,
+    sin: jnp.ndarray,
+    cos: jnp.ndarray,
+    meta: ForwardMeta,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE layer applied by index from the stacked tree — the unit of the
+    host-offloaded KV path (transport.HostKVCache): a python loop replaces
+    the lax.scan and each layer's cache slab streams host<->HBM around
+    this call (the reference's pinned-CPU kv_offload,
+    ref: dit_module.py:800-819).  Single-chip only."""
+    blk = jax.tree_util.tree_map(
+        lambda a: lax.dynamic_index_in_dim(a, idx, 0, keepdims=False), params["blocks"]
+    )
+    return _apply_layer_routed(
+        blk, params.get("blocks_edge"), config, h, cache_l, idx,
+        condition, y_xattn, sin, cos, meta,
+    )
+
+
+def dit_forward(
+    params: dict,
+    config: MagiConfig,
+    x: jnp.ndarray,  # [C, T, H, W] latent (fp32 or bf16)
+    t: jnp.ndarray,  # [n_seg] timesteps
+    y: jnp.ndarray,  # [n_seg, L, caption_channels]
+    caption_dropout: jnp.ndarray,  # scalar bool
+    kv_cache: jnp.ndarray,  # [num_layers, 2, max_tok, hk, hd]
+    meta: ForwardMeta,
+    t_offsets: jnp.ndarray,  # int32 [n_seg] temporal patch-grid offsets
+    distill_factor: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full DiT forward (ref: dit_model.py:114-398).
+    Returns (velocity [C_out(base), T, H, W], new_kv_cache)."""
+    mc = config.model_config
+    ec = config.engine_config
+
+    C, T, H, W = x.shape
+    Hp, Wp = H // mc.patch_size, W // mc.patch_size
+    Tp = T // mc.t_patch_size
+    h, condition, y_xattn, sin, cos = dit_prologue(
+        params, config, x, t, y, caption_dropout, meta, t_offsets, distill_factor
+    )
 
     # --- transformer blocks via scan (ref: dit_module.py:1373-1441) ---
-    # first/last layers keep bf16 activations on the quantized path
-    # (ref: dit_module.py:407); middle layers run int8 activation quant
     layer_idx = jnp.arange(mc.num_layers, dtype=jnp.int32)
+    edge = params.get("blocks_edge")
+
+    def run_layer(blk, hh, cache_l, idx):
+        return _apply_layer_routed(
+            blk, edge, config, hh, cache_l, idx, condition, y_xattn, sin, cos, meta
+        )
 
     from magi_tpu.parallel import mesh as mesh_lib
 
@@ -604,12 +783,7 @@ def dit_forward(
         def body_pp(carry, xs):
             hh, blk = carry
             cache_l, idx = xs
-            act_ok = jnp.logical_and(idx > 0, idx < mc.num_layers - 1)
-            out, new_cache_l = layer_forward(
-                blk, mc, hh, condition, y_xattn, sin, cos, cache_l, meta,
-                high_precision=ec.high_precision_matmul,
-                act_quant_ok=act_ok,
-            )
+            out, new_cache_l = run_layer(blk, hh, cache_l, idx)
             nxt = mesh_lib.pp_gather_layer(
                 blocks, jnp.minimum(idx + 1, mc.num_layers - 1)
             )
@@ -619,25 +793,11 @@ def dit_forward(
     else:
         def body(carry, xs):
             blk_params, cache_l, idx = xs
-            act_ok = jnp.logical_and(idx > 0, idx < mc.num_layers - 1)
-            out, new_cache_l = layer_forward(
-                blk_params, mc, carry, condition, y_xattn, sin, cos, cache_l, meta,
-                high_precision=ec.high_precision_matmul,
-                act_quant_ok=act_ok,
-            )
-            return out, new_cache_l
+            return run_layer(blk_params, carry, cache_l, idx)
 
         h, new_cache = lax.scan(body, h, (params["blocks"], kv_cache, layer_idx))
 
-    h = layer_norm(h.astype(jnp.float32), params["final_layernorm"], mc.layernorm_epsilon, mc.apply_layernorm_1p)
-
-    # --- post-process, fp32 island (ref: dit_model.py:341-360) ---
-    out = final_linear_forward(params["final_linear"], h)
-    out = unpatchify(out, mc, Tp, Hp, Wp)
-    if mc.half_channel_vae:
-        out = out[: mc.out_channels // 2]  # (ref: dit_model.py:354-356, 32->16)
-    out = out / mc.x_rescale_factor
-    return out, new_cache
+    return dit_epilogue(params, config, h, Tp, Hp, Wp), new_cache
 
 
 # ---------------------------------------------------------------------------
@@ -789,9 +949,13 @@ def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
 
 
 def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
-    # [layers, k|v, tokens, kv_heads, head_dim]
+    # [layers, k|v, tokens, kv_heads, head_dim]; kv heads carry the GQA
+    # replication factor under wide head-sharded meshes (mesh.kv_replication)
+    from magi_tpu.parallel.mesh import kv_replication
+
     mc = config.model_config
-    return (mc.num_layers, 2, max_tokens, mc.num_query_groups, mc.kv_channels)
+    rep = kv_replication(mc.num_attention_heads, mc.num_query_groups)
+    return (mc.num_layers, 2, max_tokens, mc.num_query_groups * rep, mc.kv_channels)
 
 
 def init_kv_cache(config: MagiConfig, max_tokens: int, dtype=None) -> jnp.ndarray:

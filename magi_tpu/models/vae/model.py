@@ -140,7 +140,6 @@ def _block_forward(p, cfg: VaeConfig, x, rope):
     B, N, D = x.shape
     h = cfg.num_heads
     hd = cfg.head_dim
-    eps = 1e-6  # nn.LayerNorm default in reference is 1e-5; torch default 1e-5
     residual = x
 
     xin = x if cfg.ln_in_attn else layer_norm(x, p["norm1"], 1e-5)

@@ -204,8 +204,37 @@ def quantized_matmul_i8_reference(x_q, row_scale, w_q, col_scale, out_dtype=jnp.
 
 
 # ---------------------------------------------------------------------------
-# weight-tree quantization
+# int4 weight packing (w4a8): 23GB of 24B int8 weights exceed a 16GB v5e
+# HBM — nibble-packed int4 (11.5GB) is what makes single-chip 24B possible.
+# Values are symmetric [-7, 7] with per-output-channel scales; the packed
+# uint8 holds row 2i in the low nibble and row 2i+1 in the high nibble, so
+# unpacking is two shifts + an interleaving reshape (XLA-fused, and the
+# int8 result feeds the existing int8-activation MXU path).
 # ---------------------------------------------------------------------------
+
+
+def quantize_int4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[in, out] -> (uint8 packed [in/2, out], f32 scales [out])."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32) + 8  # [1, 15]
+    assert q.shape[0] % 2 == 0, "input dim must be even for nibble packing"
+    lo = q[0::2]
+    hi = q[1::2]
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """uint8 packed [..., in/2, out] -> int8 [..., in, out]."""
+    if packed.dtype != jnp.uint8:
+        # pp layer-FSDP gathers integer leaves as bf16 (exact for 0..255)
+        packed = packed.astype(jnp.uint8)
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    return stacked.reshape(shape)
 
 QUANTIZABLE_SUFFIXES = (
     "self_attention/linear_qkv/q/weight",
@@ -238,8 +267,17 @@ def quantize_params_int8(params: dict) -> dict:
     """Quantize the big DiT linears to int8 + per-channel scales
     (~2x weight memory, the saving fp8 buys the reference).  Stacked
     [L, in, out] leaves get per-layer scales [L, out].  Model integration
-    (a `_dot` that dispatches on weight_q presence) is the quantized
-    execution path; this utility + `quantized_matmul` are its kernels."""
+    (`_linears_shared`, dispatching on weight_q presence) is the quantized
+    execution path; this utility + `quantized_matmul` are its kernels.
+
+    First/last-layer precision policy: the reference keeps FULL bf16
+    Linears (weights AND activations) for layers 0 and L-1 when fp8_quant
+    is on (ref: dit_module.py:407) — the quality-sensitive edge layers
+    never see quant error.  The stacked scan tree must stay shape-uniform,
+    so the bf16 edge weights are carried OUT of the stack in a
+    `blocks_edge` side tree ({"first": ..., "last": ...} mirroring the
+    quantizable paths); dit_forward routes those two scan steps through a
+    bf16 layer via lax.cond."""
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
 
     def set_path(tree, keys, value):
@@ -256,6 +294,11 @@ def quantize_params_int8(params: dict) -> dict:
             q, s = _quantize_stacked(leaf)
             set_path(new_tree, keys[:-1] + ["weight_q"], q)
             set_path(new_tree, keys[:-1] + ["weight_scale"], s)
+            # bf16 copies of the edge layers (ref first/last-layer policy);
+            # keys[0] == "blocks" -> mirror the inner path under blocks_edge
+            inner = keys[1:]
+            set_path(new_tree, ["blocks_edge", "first"] + inner, leaf[0])
+            set_path(new_tree, ["blocks_edge", "last"] + inner, leaf[-1])
         else:
             set_path(new_tree, keys, leaf)
     return new_tree

@@ -55,6 +55,33 @@ HEAD_AXES = (AXIS_CP, AXIS_PP, AXIS_TP)
 
 
 def build_mesh(dp: int = 1, pp: int = 1, cp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    """Single-host: devices reshaped (dp, pp, cp, tp) in enumeration order
+    (ICI-adjacent).  Multi-host slices: DCN-aware — the host boundary is
+    laid onto dp first, then pp (their collectives are per-step weight
+    broadcasts / none), keeping cp/tp — the all_to_all/psum-heavy axes —
+    inside each host's ICI domain (the scaling-book recipe; the reference
+    leaves this to torchrun rank order, example/24B/run.sh:27-32)."""
+    if devices is None and jax.process_count() > 1:
+        import math
+
+        from jax.experimental import mesh_utils
+
+        shape = [dp, pp, cp, tp]
+        dcn = [1, 1, 1, 1]
+        rem = jax.process_count()
+        for i in range(4):  # dp first, cp/tp only as a last resort
+            g = math.gcd(shape[i], rem)
+            dcn[i] = g
+            rem //= g
+            if rem == 1:
+                break
+        assert rem == 1, (
+            f"cannot lay {jax.process_count()} hosts over mesh {tuple(shape)}; "
+            f"make dp*pp a multiple of the host count"
+        )
+        per_host = [s // d for s, d in zip(shape, dcn)]
+        arr = mesh_utils.create_hybrid_device_mesh(per_host, dcn_mesh_shape=dcn)
+        return Mesh(arr, (AXIS_DP, AXIS_PP, AXIS_CP, AXIS_TP))
     devices = devices if devices is not None else jax.devices()
     need = dp * pp * cp * tp
     assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
@@ -139,6 +166,25 @@ def head_shards(mesh: Optional[Mesh]) -> int:
     if mesh is None:
         return 1
     return mesh.shape[AXIS_CP] * mesh.shape[AXIS_PP] * mesh.shape[AXIS_TP]
+
+
+def kv_replication(hq: int, hk: int, mesh: Optional[Mesh] = None) -> int:
+    """GQA kv-head replication factor for head-sharded attention: when the
+    head-shard count n exceeds the kv-head count, each kv head is
+    replicated n/hk times (contiguously) so Ulysses keeps scaling past hk
+    ways — the reference's cp > kv_heads replication
+    (ref: context_parallel.py:393-394).  Shard i then holds q heads
+    [i·hq/n, (i+1)·hq/n) — a sub-block of kv group i·hk/n — and exactly
+    replica i of that group's kv head."""
+    mesh = mesh if mesh is not None else get_mesh()
+    n = head_shards(mesh)
+    if mesh_is_trivial(mesh) or n <= hk:
+        return 1
+    assert n % hk == 0 and hq % n == 0, (
+        f"head-sharding {n} ways with GQA replication needs "
+        f"n % kv_heads({hk}) == 0 and q_heads({hq}) % n == 0"
+    )
+    return n // hk
 
 
 def constraint(x, *spec):

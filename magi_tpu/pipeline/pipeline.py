@@ -143,15 +143,27 @@ class MagiPipeline:
             )
 
         segments = [[] for _ in prompts]
+
+        def _decode(ridx, chunk_idx, chunk):
+            out = post_chunk_process(chunk, self.config)
+            print_rank_0(f"request {ridx}: chunk {chunk_idx + 1} done")
+            return out
+
         with maybe_trace("walk_many"), ThreadPoolExecutor(max_workers=1) as pool:
-            futures = []
+            pending = []
             for ridx, chunk_idx, chunk in walk_many(samplers):
                 # decode on the worker: its blocking device->host reads ride
                 # behind the denoise steps this loop keeps dispatching
-                futures.append((ridx, pool.submit(post_chunk_process, chunk, self.config)))
-                print_rank_0(f"request {ridx}: chunk {chunk_idx + 1} done")
-            for ridx, fut in futures:
-                segments[ridx].append(fut.result())
+                pending.append((ridx, pool.submit(_decode, ridx, chunk_idx, chunk)))
+                # drain finished decodes as the walk progresses so emitted
+                # device chunks are released incrementally (an unbounded
+                # futures list would pin every chunk of every request in HBM
+                # if decode lagged denoise); single worker -> FIFO completion
+                while pending and pending[0][1].done():
+                    r, fut = pending.pop(0)
+                    segments[r].append(fut.result())
+            for r, fut in pending:
+                segments[r].append(fut.result())
         for r, path in enumerate(output_paths):
             video = np.concatenate(segments[r], axis=0)
             save_video_to_disk(video, path, fps=self.config.runtime_config.fps)

@@ -28,7 +28,14 @@ import numpy as np
 from magi_tpu.core.config import MagiConfig
 from magi_tpu.core.dataclasses import ForwardMeta, SegmentAttnSpec
 from magi_tpu.core.logger import print_rank_0
-from magi_tpu.models.dit.model import dit_forward, init_kv_cache
+from magi_tpu.models.dit.model import (
+    dit_epilogue,
+    dit_forward,
+    dit_layer_step,
+    dit_prologue,
+    init_kv_cache,
+    kv_cache_shape,
+)
 from magi_tpu.sampling import kv_ranges as kvr
 from magi_tpu.sampling import schedule as sched
 
@@ -155,17 +162,22 @@ class ArdfSampler:
 
         self.xs = jax.random.normal(key, inp.latent_size, dtype=jnp.float32)
 
-        # KV memory policy: the reference offloads KV to pinned CPU memory
-        # (ref: dit_module.py:800-819).  TPU-native: with noise2clean
-        # kv-ranges the attended span is bounded, so `kv_offload` becomes a
-        # SLIDING device cache window that rolls forward — O(1) memory in
-        # video length with zero host traffic.
+        # KV memory policy (the reference offloads KV to pinned CPU memory,
+        # ref: dit_module.py:800-819).  TPU-native, two regimes:
+        #   * noise2clean kv-ranges: the attended span is bounded, so
+        #     `kv_offload` becomes a SLIDING device cache window that rolls
+        #     forward — O(1) HBM in video length with zero host traffic.
+        #   * default kv-ranges (attend ALL previous): no window bounds the
+        #     span, so `kv_offload` keeps the full cache in HOST RAM and
+        #     streams one layer slab at a time (HostKVCache + the
+        #     dit_layer_step loop) — unbounded length like the reference.
         offset_chunks = 0 if inp.prefix_video is None else inp.prefix_video.shape[1] // self.cw
         # capacity: just the chunk grid — current-window kv (incl. packed
         # uncond segments and the distill ride-along) never enters the
         # cache buffer (two-source attention reads cache and current
         # separately)
         full_chunks = self.chunk_num
+        self.host_mode = bool(ec.kv_offload and not rc.noise2clean_kvrange)
         if ec.kv_offload and rc.noise2clean_kvrange:
             span = max(rc.noise2clean_kvrange)
             if rc.clean_chunk_kvrange != -1:
@@ -175,11 +187,23 @@ class ArdfSampler:
         else:
             self.cache_chunks = full_chunks
         self.cache_base = 0  # chunk index of cache slot 0
-        from magi_tpu.parallel.mesh import shard_kv_cache
-
-        # mesh-aware placement (kv heads over cp×pp×tp); no-op single-device
-        self.cache = shard_kv_cache(init_kv_cache(config, self.cache_chunks * self.ctn))
         self.counts: Counter = Counter()
+        if self.host_mode:
+            from magi_tpu.parallel.mesh import model_parallel_trivial
+
+            assert model_parallel_trivial(), (
+                "host-offloaded KV (kv_offload with default kv ranges) is a "
+                "single-chip feature; on a mesh the cache already shards "
+                "1/(cp*pp*tp)"
+            )
+            self.cache = None
+            self.host_cache = HostKVCache(config, self.cache_chunks * self.ctn)
+            self._stream = _stream_jits(config)
+        else:
+            from magi_tpu.parallel.mesh import shard_kv_cache
+
+            # mesh-aware placement (kv heads over cp×pp×tp); no-op single-device
+            self.cache = shard_kv_cache(init_kv_cache(config, self.cache_chunks * self.ctn))
 
         self.chunk_offset = 0
         if inp.prefix_video is not None:
@@ -305,7 +329,12 @@ class ArdfSampler:
         )
         cache_sp = sp - self.cache_base
 
-        if rc.cfg_number == 3:
+        if self.host_mode:
+            self._do_step_streamed(
+                sp, y_lens_win, tvec, tvec_padded, kv_start_r, kv_end_r, dt, didx,
+                n_den, extra, use_prefix, distill_nearly,
+            )
+        elif rc.cfg_number == 3:
             ps, ts_ = self._cfg_scales(tvec_padded[-n_den:])
             self.xs, self.cache = self._jit_cfg3(
                 self.params,
@@ -371,6 +400,92 @@ class ArdfSampler:
                 return c_start - self.chunk_offset, chunk
         return None
 
+    # ----- host-offloaded KV streaming (kv_offload + default kv ranges) --
+
+    def _streamed_forward(self, x_in, t_in, y_in, dropout, meta, t_off, dfac=None):
+        """dit_forward with the layer loop on host: per-layer cache slabs
+        stream host<->HBM around dit_layer_step (see HostKVCache)."""
+        sj = self._stream
+        df = jnp.float32(0.0 if dfac is None else dfac)
+        h, cond, yx, sin, cos = sj["prologue"](
+            self.params, x_in, t_in, y_in, jnp.asarray(dropout), meta, t_off, df
+        )
+        hc = self.host_cache
+        hc.prefetch(0)
+        for l in range(hc.num_layers):
+            cache_l = hc.fetch(l)
+            h, new_cl = sj["layer"](
+                self.params, jnp.int32(l), h, cache_l, cond, yx, sin, cos, meta
+            )
+            if meta.update_kv_cache:
+                hc.store(l, new_cl)
+        Tp = meta.n_segments * self.chunk_patches
+        return sj["epilogue"](self.params, h, Tp, self.HP, self.WP)
+
+    def _do_step_streamed(
+        self, sp, y_lens_win, tvec, tvec_padded, kv_start_r, kv_end_r, dt, didx,
+        n_den, extra, use_prefix, distill_nearly,
+    ):
+        """One denoise step in host-offload mode: same math as
+        _cfg3_step/_cfg1_step, restructured as jitted assembly + N streamed
+        layer applications + jitted combine (cache_base is always 0 here —
+        the full-history cache lives on host)."""
+        rc, ec, inp = self.config.runtime_config, self.config.engine_config, self.inp
+        sj = self._stream
+        n_seg = n_den + int(extra)
+        ctn = self.ctn
+        stat = dict(n_den=n_den, extra=extra, use_prefix=use_prefix)
+        if rc.cfg_number == 3:
+            ps, ts_ = self._cfg_scales(tvec_padded[-n_den:])
+            (x_chunk, tvec2, y_text, lens_text, y_null, lens_null, t_off,
+             x_den, t_den) = sj["pre3"](
+                self.xs, jnp.int32(sp), self._text_embs, jnp.asarray(y_lens_win),
+                inp.null_emb, jnp.int32(inp.null_len), jnp.asarray(tvec),
+                self.prefix_buf, jnp.int32(self.prefix_len), **stat,
+            )
+            meta1 = _meta(n_seg, ctn, self.HP, self.WP, sp, kv_start_r, kv_end_r,
+                          lens_text, update=False, use_cache=True, extra=extra)
+            v1 = self._streamed_forward(x_chunk, tvec2, y_text, False, meta1, t_off)
+            v3 = sj["uncond"](self.params, x_den, t_den, y_null, lens_null, n_den=n_den)
+            meta2 = _meta(n_seg, ctn, self.HP, self.WP, sp, kv_start_r, kv_end_r,
+                          lens_null, update=True, use_cache=True, extra=extra)
+            v2 = self._streamed_forward(x_chunk, tvec2, y_null, True, meta2, t_off)
+            self.xs = sj["combine3"](
+                self.xs, x_chunk, v1, v2, v3, jnp.asarray(dt), jnp.asarray(ps),
+                jnp.asarray(ts_), jnp.int32(sp), n_den=n_den, extra=extra,
+            )
+        elif rc.cfg_number == 1:
+            dfac = (
+                sched.distill_dt_factor(self.num_steps, float(self.interval[didx]))
+                if ec.distill else None
+            )
+            pre = sj["pre1"](
+                self.xs, jnp.int32(sp), self._text_embs, jnp.asarray(y_lens_win),
+                inp.null_emb, jnp.int32(inp.null_len), jnp.asarray(tvec),
+                self.prefix_buf, jnp.int32(self.prefix_len),
+                distill_nearly=distill_nearly, **stat,
+            )
+            if distill_nearly:
+                x_chunk, t_in, y_in, lens_in, t_off_in, x_in = pre
+                vmax = (sp + n_seg) * ctn
+                kv_s = np.concatenate([np.asarray(kv_start_r), [vmax]]).astype(np.int32)
+                kv_e = np.concatenate([np.asarray(kv_end_r), [vmax + ctn]]).astype(np.int32)
+                meta = _meta(n_seg + 1, ctn, self.HP, self.WP, sp, kv_s, kv_e, lens_in,
+                             update=True, use_cache=True, extra=extra, distill_nearly=True)
+            else:
+                x_chunk, t_in, y_in, lens_in, t_off_in = pre
+                x_in = x_chunk
+                meta = _meta(n_seg, ctn, self.HP, self.WP, sp, kv_start_r, kv_end_r,
+                             lens_in, update=True, use_cache=True, extra=extra)
+            out = self._streamed_forward(x_in, t_in, y_in, False, meta, t_off_in, dfac=dfac)
+            self.xs = sj["post1"](
+                self.xs, x_chunk, out, jnp.asarray(dt),
+                jnp.float32(inp.prev_chunks_scale), jnp.int32(sp),
+                n_den=n_den, extra=extra, distill_nearly=distill_nearly,
+            )
+        else:
+            raise NotImplementedError(f"cfg_number={rc.cfg_number}")
+
     # When True, _emit returns the chunk as a DEVICE array (an async-
     # dispatched slice into a fresh buffer — safe across the next step's
     # donation) instead of blocking the host on np.asarray until the whole
@@ -403,6 +518,23 @@ class ArdfSampler:
         dfac = (
             sched.distill_dt_factor(self.num_steps, float(self.interval[0])) if ec.distill else 0.0
         )
+        if self.host_mode:
+            L = self.inp.null_emb.shape[0]
+            y = jnp.broadcast_to(
+                self.inp.null_emb[None], (n, L, self.inp.null_emb.shape[-1])
+            )
+            meta = _meta(
+                n, self.ctn, self.HP, self.WP, 0, kv_s, kv_e,
+                np.full((n,), self.inp.null_len, np.int32),
+                update=True, use_cache=True,
+            )
+            t = jnp.full((n,), rc.clean_t, jnp.float32)
+            t_off = jnp.arange(n, dtype=jnp.int32) * self.chunk_patches
+            self._streamed_forward(
+                self.prefix_buf[..., : n * self.cw, :, :], t, y, True, meta, t_off,
+                dfac=dfac if ec.distill else None,
+            )
+            return
         self.cache = self._jit_warmup(
             self.params,
             self.cache,
@@ -710,6 +842,196 @@ def _prefix_warmup_step(
         distill_factor=dfac,
     )
     return cache
+
+
+# ---------------------------------------------------------------------------
+# Host-offloaded KV cache (the reference's pinned-CPU kv_offload,
+# ref: dit_module.py:800-819).  With DEFAULT kv ranges every chunk attends
+# ALL previous chunks, so no sliding device window can bound HBM; instead
+# the full cache lives in host RAM (video length bounded by host memory,
+# not HBM) and each layer's slab streams host<->HBM just-in-time around a
+# per-layer jit — a python loop replaces the lax.scan.  Single chip only
+# (on a mesh the cache shards 1/(cp*pp*tp), which is the scaling answer).
+# ---------------------------------------------------------------------------
+
+
+class HostKVCache:
+    """Host-RAM KV cache with per-layer double-buffered streaming: layer
+    l+1's upload is dispatched before layer l's compute result is read, so
+    the host->HBM copy rides behind the MXU work."""
+
+    def __init__(self, config: MagiConfig, max_tokens: int):
+        import ml_dtypes
+
+        shape = kv_cache_shape(config, max_tokens)  # [L, 2, tok, hk, hd]
+        dt = config.model_config.params_dtype
+        np_dt = ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
+        self.buf = np.zeros(shape, np_dt)
+        self._inflight: dict = {}
+
+    @property
+    def num_layers(self) -> int:
+        return self.buf.shape[0]
+
+    def prefetch(self, l: int) -> None:
+        if 0 <= l < self.num_layers and l not in self._inflight:
+            self._inflight[l] = jax.device_put(self.buf[l])
+
+    def fetch(self, l: int):
+        self.prefetch(l)
+        self.prefetch(l + 1)  # overlap the next upload with this layer's compute
+        return self._inflight.pop(l)
+
+    def store(self, l: int, dev_slab) -> None:
+        self.buf[l] = np.asarray(dev_slab)
+
+
+def _s_pre3(config, xs, sp, caption_embs, y_lens_win, null_emb, null_len, tvec,
+            prefix_buf, prefix_len, *, n_den, extra, use_prefix):
+    """In-jit assembly prefix of the streamed 3-CFG step: window slice +
+    prefix paste + caption assembly (mirrors _cfg3_step's head)."""
+    mc, rc = config.model_config, config.runtime_config
+    cw = rc.chunk_width
+    n_seg = n_den + int(extra)
+    L = caption_embs.shape[1]
+    x_chunk = _slice_window(xs, sp, n_seg, cw)
+    if use_prefix:
+        x_chunk, tvec = _apply_prefix(x_chunk, tvec, prefix_buf, prefix_len, sp, cw, n_seg)
+    y_text, lens_text = _build_y(caption_embs, null_emb, null_len, y_lens_win, sp, extra, n_den, L)
+    y_null = jnp.broadcast_to(null_emb[None], (n_seg, L, null_emb.shape[-1]))
+    lens_null = jnp.full((n_seg,), null_len, jnp.int32)
+    chunk_patches = cw // mc.t_patch_size
+    t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
+    dw = n_den * cw
+    return (x_chunk, tvec, y_text, lens_text, y_null, lens_null, t_off,
+            x_chunk[:, -dw:], tvec[-n_den:])
+
+
+def _s_uncond(config, params, x_den, t_den, y_null, lens_null, *, n_den):
+    """Unconditional CFG branch as ONE plain jit (it never touches the big
+    cache — self-only ranges, fresh positions; ref: dit_model.py:447-492),
+    so the streamed path only streams the two cache-touching forwards."""
+    mc, rc = config.model_config, config.runtime_config
+    cw = rc.chunk_width
+    HP = x_den.shape[2] // mc.patch_size
+    WP = x_den.shape[3] // mc.patch_size
+    ctn = (cw // mc.t_patch_size) * HP * WP
+    y_null_den, lens_null_den = y_null[:n_den], lens_null[:n_den]
+    u_start, u_end = kvr.self_only_kvrange(n_den, ctn)
+    meta3 = _meta(n_den, ctn, HP, WP, 0, u_start, u_end, lens_null_den,
+                  update=False, use_cache=False)
+    dummy = jnp.zeros(
+        (mc.num_layers, 2, 0, mc.num_query_groups, mc.kv_channels), mc.params_dtype
+    )
+    v3, _ = dit_forward(params, config, x_den, t_den, y_null_den, jnp.asarray(True),
+                        dummy, meta3, jnp.zeros(n_den, jnp.int32))
+    return v3
+
+
+def _s_combine3(config, xs, x_chunk, v1, v2, v3, dt, ps, ts_, sp, *, n_den, extra):
+    """CFG combine + Euler integrate tail (mirrors _cfg3_step's tail)."""
+    rc = config.runtime_config
+    cw = rc.chunk_width
+    dw = n_den * cw
+
+    def per_chunk(o):
+        return o.reshape(o.shape[0], n_den, cw, *o.shape[2:])
+
+    c1 = per_chunk(v1[:, -dw:])
+    c2 = per_chunk(v2[:, -dw:])
+    u = per_chunk(v3)
+    scale_p = ps[None, :, None, None, None]
+    scale_t = ts_[None, :, None, None, None]
+    velocity = (1 - scale_p) * u + (scale_p - scale_t) * c2 + scale_t * c1
+    velocity = velocity.reshape(velocity.shape[0], dw, *velocity.shape[3:])
+    c_start = sp + int(extra)
+    return _integrate_and_store(xs, x_chunk[:, -dw:], velocity, dt, jnp.int32(c_start), cw, n_den)
+
+
+def _s_pre1(config, xs, sp, caption_embs, y_lens_win, null_emb, null_len, tvec,
+            prefix_buf, prefix_len, *, n_den, extra, use_prefix, distill_nearly):
+    """Assembly prefix of the streamed 1-CFG step, incl. the distill
+    nearly-clean ride-along concat (mirrors _cfg1_step's head)."""
+    mc, rc = config.model_config, config.runtime_config
+    cw = rc.chunk_width
+    n_seg = n_den + int(extra)
+    L = caption_embs.shape[1]
+    x_chunk = _slice_window(xs, sp, n_seg, cw)
+    if use_prefix:
+        x_chunk, tvec = _apply_prefix(x_chunk, tvec, prefix_buf, prefix_len, sp, cw, n_seg)
+    y_text, lens_text = _build_y(caption_embs, null_emb, null_len, y_lens_win, sp, extra, n_den, L)
+    chunk_patches = cw // mc.t_patch_size
+    t_off = (sp + jnp.arange(n_seg, dtype=jnp.int32)) * chunk_patches
+    if not distill_nearly:
+        return x_chunk, tvec, y_text, lens_text, t_off
+    ss = 1 if extra else 0
+    x_nc = jax.lax.dynamic_slice(
+        x_chunk, (0, ss * cw, 0, 0), (x_chunk.shape[0], cw) + x_chunk.shape[2:]
+    )
+    x_cat = jnp.concatenate([x_chunk, x_nc], axis=1)
+    t_cat = jnp.concatenate([tvec, tvec[ss : ss + 1]])
+    y_cat = jnp.concatenate([y_text, y_text[ss : ss + 1]], axis=0)
+    lens_cat = jnp.concatenate([lens_text, lens_text[ss : ss + 1]])
+    t_off_cat = jnp.concatenate([t_off, jnp.asarray([0], jnp.int32) + (sp + n_seg) * chunk_patches])
+    return x_chunk, t_cat, y_cat, lens_cat, t_off_cat, x_cat
+
+
+def _s_post1(config, xs, x_chunk, out, dt, prev_scale, sp, *, n_den, extra, distill_nearly):
+    """Nearly-clean blend + Euler integrate tail (mirrors _cfg1_step's tail)."""
+    rc = config.runtime_config
+    cw = rc.chunk_width
+    n_seg = n_den + int(extra)
+    if distill_nearly:
+        ss = 1 if extra else 0
+        near_pre_text = out[:, ss * cw : (ss + 1) * cw]
+        near_text = out[:, -cw:]
+        blended = near_pre_text * prev_scale + near_text * (1 - prev_scale)
+        out = out[:, : n_seg * cw]
+        out = jax.lax.dynamic_update_slice(out, blended, (0, ss * cw, 0, 0))
+    dw = n_den * cw
+    velocity = out[:, -dw:]
+    c_start = sp + int(extra)
+    return _integrate_and_store(xs, x_chunk[:, -dw:], velocity, dt, jnp.int32(c_start), cw, n_den)
+
+
+_STREAM_JIT_CACHE: dict = {}
+
+
+def _stream_jits(config: MagiConfig) -> dict:
+    key = _config_key(config)
+    if key not in _STREAM_JIT_CACHE:
+        _STREAM_JIT_CACHE[key] = {
+            "prologue": jax.jit(
+                lambda p, x, t, y, d, m, to, df: dit_prologue(p, config, x, t, y, d, m, to, df)
+            ),
+            "layer": jax.jit(
+                lambda p, i, h, c, cond, yx, s, co, m: dit_layer_step(
+                    p, config, i, h, c, cond, yx, s, co, m
+                )
+            ),
+            "epilogue": jax.jit(
+                lambda p, h, Tp, Hp, Wp: dit_epilogue(p, config, h, Tp, Hp, Wp),
+                static_argnums=(2, 3, 4),
+            ),
+            "pre3": jax.jit(
+                functools.partial(_s_pre3, config),
+                static_argnames=("n_den", "extra", "use_prefix"),
+            ),
+            "uncond": jax.jit(functools.partial(_s_uncond, config), static_argnames=("n_den",)),
+            "combine3": jax.jit(
+                functools.partial(_s_combine3, config),
+                static_argnames=("n_den", "extra"), donate_argnums=(0,),
+            ),
+            "pre1": jax.jit(
+                functools.partial(_s_pre1, config),
+                static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
+            ),
+            "post1": jax.jit(
+                functools.partial(_s_post1, config),
+                static_argnames=("n_den", "extra", "distill_nearly"), donate_argnums=(0,),
+            ),
+        }
+    return _STREAM_JIT_CACHE[key]
 
 
 def walk_many(samplers) -> Generator[Tuple[int, int, np.ndarray], None, None]:

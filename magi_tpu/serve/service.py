@@ -14,9 +14,11 @@ Run:  python -m magi_tpu.serve.service [--port 8002]
 from __future__ import annotations
 
 import base64
+import contextlib
 import io
 import json
 import os
+import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -27,6 +29,7 @@ OUT_DIR = os.getenv("OUT_DIR", "/tmp/magi_outputs")
 MAGI_MODEL_SIZE = os.getenv("MAGI_MODEL_SIZE", "4.5B")
 MAGI_GPUS = int(os.getenv("MAGI_GPUS", "1"))
 MAGI_CONFIG_FILE = os.getenv("MAGI_CONFIG_FILE")
+MAGI_MAX_QUEUE = int(os.getenv("MAGI_MAX_QUEUE", "4"))
 os.makedirs(OUT_DIR, exist_ok=True)
 
 
@@ -35,6 +38,42 @@ class HTTPError(Exception):
         super().__init__(detail)
         self.code = code
         self.detail = detail
+
+
+class EngineGate:
+    """Serializes TPU access across the ThreadingHTTPServer's request
+    threads: each generation spawns a fresh engine subprocess, and two of
+    those fighting over one chip wedge BOTH (the one-TPU-process-at-a-time
+    operating rule).  The reference service has the same flaw unfixed.
+    Requests queue FIFO behind the running one up to `max_queue` in-flight
+    total; beyond that the request is rejected 429 with its would-be queue
+    position so clients can back off."""
+
+    def __init__(self, max_queue: int):
+        self._run_lock = threading.Lock()
+        self._state = threading.Lock()
+        self._in_flight = 0
+        self.max_queue = max_queue
+
+    @contextlib.contextmanager
+    def acquire(self):
+        with self._state:
+            if self._in_flight >= self.max_queue:
+                raise HTTPError(
+                    429,
+                    f"engine busy: {self._in_flight} request(s) in flight "
+                    f"(max {self.max_queue}); retry later",
+                )
+            self._in_flight += 1
+        try:
+            with self._run_lock:
+                yield
+        finally:
+            with self._state:
+                self._in_flight -= 1
+
+
+ENGINE_GATE = EngineGate(MAGI_MAX_QUEUE)
 
 
 def _decode_data_uri(uri: str) -> bytes:
@@ -69,16 +108,17 @@ def _save_temp(img) -> str:
 def _generate(prompt: str, img, model_size=None, gpus=None) -> dict:
     img_path = _save_temp(img) if img else None
     try:
-        out = generate_magi_video(
-            prompt=prompt,
-            mode="i2v" if img else "t2v",
-            image_path=img_path,
-            model_size=model_size or MAGI_MODEL_SIZE,
-            gpus=gpus or MAGI_GPUS,
-            config_file=MAGI_CONFIG_FILE,
-            output_dir=OUT_DIR,
-            show_progress=True,
-        )
+        with ENGINE_GATE.acquire():
+            out = generate_magi_video(
+                prompt=prompt,
+                mode="i2v" if img else "t2v",
+                image_path=img_path,
+                model_size=model_size or MAGI_MODEL_SIZE,
+                gpus=gpus or MAGI_GPUS,
+                config_file=MAGI_CONFIG_FILE,
+                output_dir=OUT_DIR,
+                show_progress=True,
+            )
         if not out["success"]:
             raise HTTPError(500, f"Video generation failed: {out.get('error') or out.get('stderr')}")
         return out
@@ -158,13 +198,14 @@ def route_generate(body: dict) -> dict:
             raise HTTPError(400, "batched generation is t2v-only")
         from magi_tpu.serve.generator import generate_magi_video_batch
 
-        out = generate_magi_video_batch(
-            prompts,
-            model_size=body.get("model_size") or MAGI_MODEL_SIZE,
-            config_file=MAGI_CONFIG_FILE,
-            output_dir=OUT_DIR,
-            interleave=bool(body.get("interleave")),
-        )
+        with ENGINE_GATE.acquire():
+            out = generate_magi_video_batch(
+                prompts,
+                model_size=body.get("model_size") or MAGI_MODEL_SIZE,
+                config_file=MAGI_CONFIG_FILE,
+                output_dir=OUT_DIR,
+                interleave=bool(body.get("interleave")),
+            )
         if not out.get("success"):
             raise HTTPError(500, out.get("error") or "generation failed")
         return {

@@ -10,7 +10,9 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # 16 virtual devices: 8 for the standard mesh tests + headroom for the
+    # GQA kv-replication tests (head-sharding wider than the 8 kv heads)
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=16").strip()
 
 import jax  # noqa: E402
 
@@ -29,5 +31,12 @@ def rng():
 @pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()
-    assert len(devs) >= 8, f"expected 8 virtual cpu devices, got {len(devs)}"
+    assert len(devs) >= 8, f"expected >=8 virtual cpu devices, got {len(devs)}"
+    return devs[:8]
+
+
+@pytest.fixture(scope="session")
+def sixteen_devices():
+    devs = jax.devices()
+    assert len(devs) >= 16, f"expected >=16 virtual cpu devices, got {len(devs)}"
     return devs

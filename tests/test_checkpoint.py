@@ -174,3 +174,22 @@ def test_variant_subdir_resolution(tmp_path):
     (tmp_path / "inference_weight.fp8.distill").mkdir(parents=True)
     with pytest.raises(AssertionError, match="no safetensors shards"):
         load_state_dict(str(tmp_path), fp8_quant=True, distill=True)
+
+
+def test_tp8_interleave_fold_equivalence():
+    """interleave(x) @ W == x @ fold(W): the load-time weight-row fold is
+    exactly the reference's runtime concat-interleave
+    (ref: dit_module.py:1332-1338)."""
+    from magi_tpu.checkpoint.loader import _fold_tp8_interleave
+
+    rng = np.random.default_rng(5)
+    S, two_d, D = 6, 64, 16
+    x = rng.normal(size=(S, two_d)).astype(np.float32)
+    w = rng.normal(size=(two_d, D)).astype(np.float32)
+    x_il = x.reshape(S, 2, 8, two_d // 16).transpose(0, 2, 1, 3).reshape(S, two_d)
+    np.testing.assert_allclose(x_il @ w, x @ _fold_tp8_interleave(w), rtol=1e-5, atol=1e-5)
+    # stacked [L, in, out] variant takes the same per-layer fold
+    wl = rng.normal(size=(3, two_d, D)).astype(np.float32)
+    got = _fold_tp8_interleave(wl)
+    for i in range(3):
+        np.testing.assert_array_equal(got[i], _fold_tp8_interleave(wl[i]))

@@ -1,9 +1,10 @@
-"""Sliding-window KV cache (the TPU-native kv_offload): a long walk with
-the bounded cache must match the unbounded-cache walk exactly."""
+"""Host-offloaded KV cache (kv_offload + DEFAULT kv ranges): the streamed
+per-layer walk must match the in-HBM walk (the reference's pinned-CPU
+kv_offload property, ref: dit_module.py:800-819 — unbounded video length
+with the cache in host RAM)."""
 
 import jax
 import numpy as np
-import pytest
 
 from magi_tpu.models.dit.model import init_dit_params
 from magi_tpu.sampling.transport import ArdfSampler
@@ -11,37 +12,32 @@ from tests.test_transport import make_input
 from tests.tiny import tiny_config
 
 
-def run(kv_offload: bool, chunk_num: int = 8):
-    cfg = tiny_config(
-        runtime={
-            "noise2clean_kvrange": [2, 2, 1, 1],
-            "clean_chunk_kvrange": 1,
-            "num_steps": 4,
-            "window_size": 2,
-        },
-        engine={"kv_offload": kv_offload},
-    )
-    inp = make_input(cfg, chunk_num)
-    params = init_dit_params(jax.random.PRNGKey(0), cfg)
-    sampler = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
-    chunks = [c for _, c in sampler.walk()]
-    return chunks, sampler
+def _walks(cfg_kwargs, prefix_frames=0):
+    cfg_a = tiny_config(**cfg_kwargs)
+    cfg_b = tiny_config(**cfg_kwargs)
+    cfg_b.engine_config.kv_offload = True
+    assert not cfg_a.runtime_config.noise2clean_kvrange  # default ranges
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_a)
+    sa = ArdfSampler(cfg_a, params, make_input(cfg_a, 2, prefix_frames=prefix_frames), jax.random.PRNGKey(7))
+    assert not sa.host_mode
+    ref = [c for _, c in sa.walk()]
+    sb = ArdfSampler(cfg_b, params, make_input(cfg_b, 2, prefix_frames=prefix_frames), jax.random.PRNGKey(7))
+    assert sb.host_mode and sb.cache is None
+    got = [c for _, c in sb.walk()]
+    assert len(ref) == len(got) > 0
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(g), atol=1e-5, rtol=1e-5)
+    # the device never held the stacked cache; host buffer did get written
+    assert np.abs(sb.host_cache.buf.astype(np.float32)).max() > 0
 
 
-def test_sliding_cache_matches_full_cache():
-    ref_chunks, ref_s = run(kv_offload=False)
-    got_chunks, got_s = run(kv_offload=True)
-    assert got_s.cache_chunks < ref_s.cache_chunks  # actually bounded
-    assert got_s.cache_base > 0  # the window actually slid
-    assert len(ref_chunks) == len(got_chunks) == 8
-    for r, g in zip(ref_chunks, got_chunks):
-        np.testing.assert_allclose(r, g, atol=1e-5, rtol=1e-5)
+def test_host_offload_cfg3_t2v_matches():
+    _walks({})
 
 
-def test_offload_without_n2c_falls_back_to_full():
-    cfg = tiny_config(engine={"kv_offload": True})
-    inp = make_input(cfg, 3)
-    params = init_dit_params(jax.random.PRNGKey(0), cfg)
-    sampler = ArdfSampler(cfg, params, inp, jax.random.PRNGKey(7))
-    assert sampler.cache_chunks == 3  # chunk_num (no scratch, unpacked 3-CFG)
-    assert len(list(sampler.walk())) == 3
+def test_host_offload_cfg3_v2v_prefix_matches():
+    _walks({}, prefix_frames=2)
+
+
+def test_host_offload_cfg1_distill_matches():
+    _walks({"engine": {"distill": True}, "runtime": {"cfg_number": 1, "num_steps": 4, "window_size": 2}})

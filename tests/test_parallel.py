@@ -168,15 +168,49 @@ def test_multihost_init_hook(monkeypatch):
     assert calls == [2]
 
 
+def test_multihost_mesh_is_dcn_aware(monkeypatch):
+    """On a multi-host slice build_mesh must lay the host (DCN) boundary
+    onto dp/pp and keep cp/tp inside each host's ICI domain."""
+    calls = {}
+
+    def fake_hybrid(per_host, dcn_mesh_shape):
+        calls["per_host"], calls["dcn"] = tuple(per_host), tuple(dcn_mesh_shape)
+        need = int(np.prod(per_host)) * int(np.prod(dcn_mesh_shape))
+        return np.asarray(jax.devices()[:need]).reshape(
+            tuple(d * p for d, p in zip(dcn_mesh_shape, per_host))
+        )
+
+    from jax.experimental import mesh_utils
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+
+    m = mesh_lib.build_mesh(dp=2, pp=2, cp=2, tp=2)
+    assert calls["dcn"] == (2, 2, 1, 1)  # hosts on dp, then pp
+    assert calls["per_host"] == (1, 1, 2, 2)  # cp/tp stay on ICI
+    assert dict(m.shape) == {"dp": 2, "pp": 2, "cp": 2, "tp": 2}
+
+    # explicit devices (tests / single host) bypass the hybrid path
+    calls.clear()
+    mesh_lib.build_mesh(cp=4, tp=2, devices=jax.devices()[:8])
+    assert not calls
+
+    # host count that cannot sit on dp*pp must fail loudly, not silently
+    # put cp traffic on DCN... unless cp is the only place left
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    m2 = mesh_lib.build_mesh(dp=1, pp=1, cp=2, tp=2)
+    assert calls["dcn"] == (1, 1, 2, 1)
+
+
 def test_int8_sharded_walk_close_to_single_device(eight_devices):
-    """Quantized execution composed with model parallelism: the quantized
-    walk on a pp2 x cp2 x tp2 mesh (weight_q/weight_scale sharded per
-    dit_param_specs) runs WEIGHT-ONLY dequant dots — the Pallas int8 qmm
-    is opaque to the SPMD partitioner, and the partitioned int8
-    contraction's int32 all-reduce crashes XLA CPU — while the
-    single-device walk quantizes activations too.  They agree to within
-    activation-quant noise, bounding the sharded path's quantization
-    error."""
+    """Quantized execution composed with model parallelism: on a
+    pp2 x cp2 x tp2 mesh ALL EIGHT linears run int8 activation execution
+    inside manual shard_maps (col: collective-free; row: tp-pmax rowmax +
+    f32-scaled partial psum — matching the reference's fp8 coverage,
+    ref: dit_module.py:481-487, 535-551).  Agreement with the
+    single-device int8 walk is within partial-sum rounding noise (the f32
+    psum of per-shard int32 partials reorders the exact int accumulation);
+    edge layers run full bf16 on both sides."""
     from magi_tpu.ops.quant import quantize_params_int8
 
     cfg = tiny_config(
@@ -230,6 +264,24 @@ def test_pp_gather_layer_unit(eight_devices):
         np.testing.assert_array_equal(
             np.asarray(got["q"], np.float32), np.asarray(blocks["q"][i], np.float32)
         )
+
+
+def test_head_sharding_past_kv_heads_16way(sixteen_devices):
+    """Head sharding WIDER than the kv-head count: a 16-way head-sharded
+    mesh (cp4 x tp4) over 16 q-heads / 8 kv-heads engages GQA kv-head
+    replication (mesh.kv_replication — the reference's cp > kv_heads path,
+    ref: context_parallel.py:393-394).  Sharded walk == single-device."""
+    cfg = tiny_config(
+        model={"num_attention_heads": 16, "num_query_groups": 8,
+               "hidden_size": 256, "kv_channels": 16},
+        engine={"cp_size": 4, "tp_size": 4},
+    )
+    assert mesh_lib.kv_replication(16, 8, mesh_lib.build_mesh(cp=4, tp=4, devices=sixteen_devices)) == 2
+    ref = run_walk(cfg, sharded=False, eight_devices=sixteen_devices)
+    got = run_walk(cfg, sharded=True, eight_devices=sixteen_devices)
+    assert len(ref) == len(got) == 2
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=2e-4, rtol=2e-4)
 
 
 def test_24b_architecture_shapes_sharded_walk(eight_devices):

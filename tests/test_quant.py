@@ -92,6 +92,35 @@ def test_quantize_params_tree():
     assert "weight" in qp["blocks"]["ada_modulate_layer"]["proj"]["0"]
 
 
+def test_quantized_edge_layers_stay_bf16():
+    """First/last layers run FULL bf16 (weights and activations) on the
+    quantized path (ref first/last-layer policy, dit_module.py:407): with a
+    2-layer model every layer is an edge layer, so the quantized walk must
+    be IDENTICAL to the bf16 walk."""
+    import jax
+
+    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.sampling.transport import ArdfSampler
+    from tests.test_transport import make_input
+    from tests.tiny import tiny_config
+
+    cfg_a = tiny_config()
+    cfg_a.model_config.num_layers = 2
+    cfg_b = tiny_config()
+    cfg_b.model_config.num_layers = 2
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_a)
+    qp = quantize_params_int8(params)
+    assert "blocks_edge" in qp
+    assert qp["blocks_edge"]["first"]["mlp"]["linear_fc1"]["weight"].shape == (
+        cfg_a.model_config.hidden_size,
+        cfg_a.model_config.ffn_hidden_size,
+    )
+    ref = [c for _, c in ArdfSampler(cfg_a, params, make_input(cfg_a, 2), jax.random.PRNGKey(7)).walk()]
+    got = [c for _, c in ArdfSampler(cfg_b, qp, make_input(cfg_b, 2), jax.random.PRNGKey(7)).walk()]
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_int8_model_forward_close_to_fp():
     """Full DiT walk with int8-quantized weights stays close to the fp
     walk (weight-only quantization error bound)."""

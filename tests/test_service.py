@@ -111,3 +111,78 @@ def test_check_dependencies():
 
     deps = check_dependencies()
     assert deps["jax"] and deps["entry_module"]
+
+
+def test_concurrent_requests_serialize_on_engine_gate(server, monkeypatch):
+    """Two concurrent /generate requests must execute sequentially — one
+    TPU engine subprocess at a time (the EngineGate rule; the reference
+    service lets them race for the chip)."""
+    import time
+
+    from magi_tpu.serve import service
+
+    running = {"n": 0, "max": 0}
+    lock = threading.Lock()
+
+    def slow_generate(prompt, mode, image_path=None, **kw):
+        with lock:
+            running["n"] += 1
+            running["max"] = max(running["max"], running["n"])
+        time.sleep(0.3)
+        with lock:
+            running["n"] -= 1
+        out_dir = service.OUT_DIR
+        path = os.path.join(out_dir, f"vid_{prompt}.mp4")
+        with open(path, "wb") as f:
+            f.write(b"\x00fakevideo")
+        return {"success": True, "output_path": path, "duration": 0.3}
+
+    monkeypatch.setattr(service, "generate_magi_video", slow_generate)
+
+    results = []
+
+    def call(p):
+        results.append(requests.post(f"{server}/generate", json={"prompt": p}, timeout=30))
+
+    threads = [threading.Thread(target=call, args=(p,)) for p in ("a", "b", "c")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r.status_code == 200 for r in results), [r.text for r in results]
+    assert running["max"] == 1, f"engine overlap: {running['max']} concurrent subprocesses"
+
+
+def test_engine_gate_rejects_past_queue_limit(server, monkeypatch):
+    """Requests beyond the in-flight cap get 429, not an unbounded queue."""
+    import time
+
+    from magi_tpu.serve import service
+
+    monkeypatch.setattr(service, "ENGINE_GATE", service.EngineGate(max_queue=1))
+    started = threading.Event()
+
+    def slow_generate(prompt, mode, image_path=None, **kw):
+        started.set()
+        time.sleep(1.0)
+        path = os.path.join(service.OUT_DIR, "vid_q.mp4")
+        with open(path, "wb") as f:
+            f.write(b"\x00fakevideo")
+        return {"success": True, "output_path": path, "duration": 1.0}
+
+    monkeypatch.setattr(service, "generate_magi_video", slow_generate)
+
+    codes = {}
+
+    def call(name):
+        codes[name] = requests.post(f"{server}/generate", json={"prompt": name}, timeout=30).status_code
+
+    t1 = threading.Thread(target=call, args=("first",))
+    t1.start()
+    assert started.wait(5.0)
+    t2 = threading.Thread(target=call, args=("second",))
+    t2.start()
+    t1.join()
+    t2.join()
+    assert codes["first"] == 200
+    assert codes["second"] == 429, codes
