@@ -129,8 +129,12 @@ class EngineConfig:
     cp_strategy: str = "none"  # {none, cp_ulysses, cp_shuffle_overlap}
     ulysses_overlap_degree: int = 1  # accepted; XLA schedules overlap itself
 
-    # Quantization
+    # Quantization.  fp8_quant loads the reference's .fp8 checkpoints and
+    # executes int8 (the TPU MXU's quantized dtype); quant_bits=4 selects
+    # nibble-packed w4a8 instead (what fits the 23GB 24B model on a 16GB
+    # chip — see ops/quant.quantize_params_int4).
     fp8_quant: bool = False
+    quant_bits: int = 8  # 8 (w8a8) or 4 (w4a8); active when fp8_quant/MAGI_INT8
 
     # Distillation
     distill_nearly_clean_chunk_threshold: float = 0.3

@@ -255,7 +255,19 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
         the scales anyway).
     The shard_map goes manual over cp/pp too whenever the token count
     divides (otherwise the opaque-to-SPMD Pallas qmm would force
-    replication of the seq-sharded activations)."""
+    replication of the seq-sharded activations).
+
+    `weight_q4` params (nibble-packed int4, quantize_params_int4) unpack
+    one layer to int8 in-scan and then ride the same int8 path — the
+    unpack is an XLA-fused shift/mask whose traffic is negligible next to
+    the matmul's."""
+    if "weight_q4" in plist[0]:
+        from magi_tpu.ops.quant import unpack_int4
+
+        plist = [
+            {"weight_q": unpack_int4(pp["weight_q4"]), "weight_scale": pp["weight_scale"]}
+            for pp in plist
+        ]
     if "weight_q" not in plist[0]:
         return tuple(_dot(x, pp["weight"], high_precision) for pp in plist)
 
@@ -380,7 +392,7 @@ def _merge_edge(blk: dict, edge: dict) -> dict:
     out = {}
     for k, v in blk.items():
         if isinstance(v, dict):
-            if "weight_q" in v:
+            if "weight_q" in v or "weight_q4" in v:
                 out[k] = {"weight": edge[k]["weight"]}
             else:
                 out[k] = _merge_edge(v, edge.get(k, {}))
@@ -805,10 +817,19 @@ def dit_forward(
 # ---------------------------------------------------------------------------
 
 
-def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> dict:
+def init_dit_params(
+    key: jax.Array, config: MagiConfig, zeros: bool = False, quant_bits: int = 0,
+    edge_bf16: bool = True,
+) -> dict:
     """Random-weight init — the SKIP_LOAD_MODEL analog (ref: dit_model.py:602).
     Uses numpy RNG for speed; real weights come from checkpoint/loader.py.
-    `zeros=True` gives an instant all-zeros tree for benchmarks/compile checks."""
+    `zeros=True` gives an instant all-zeros tree for benchmarks/compile checks.
+
+    `quant_bits` (4 or 8) builds the tree DIRECTLY in quantized form (zeros)
+    without ever materializing the bf16 weights — required for 24B on one
+    chip, where the bf16 tree (46GB) cannot exist in HBM even transiently.
+    `edge_bf16=False` additionally drops the first/last-layer bf16 side tree
+    when HBM is the binding constraint."""
     import numpy as np
 
     mc = config.model_config
@@ -853,6 +874,21 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
             p["bias"] = jnp.zeros(shape[:-2] + (o,), dt)
         return p
 
+    def qlin(i, o):
+        """Directly-quantized zero leaf (timing init; 0x88 nibbles == 0)."""
+        if not quant_bits:
+            return lin(i, o)
+        assert zeros, "quant_bits init is zeros-only (benchmark/compile use)"
+        if quant_bits == 4:
+            return {
+                "weight_q4": jnp.full((L, i // 2, o), 0x88, jnp.uint8),
+                "weight_scale": jnp.full((L, o), 0.02, jnp.float32),
+            }
+        return {
+            "weight_q": jnp.zeros((L, i, o), jnp.int8),
+            "weight_scale": jnp.full((L, o), 0.02, jnp.float32),
+        }
+
     def norm(n, dt, stacked=True):
         shape = (L, n) if stacked else (n,)
         w = jnp.zeros(shape, dt) if mc.apply_layernorm_1p else jnp.ones(shape, dt)
@@ -867,23 +903,23 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
         "self_attention": {
             "linear_qkv": {
                 "layer_norm": plain_norm(D, dtype),
-                "q": lin(D, hq * hd),
-                "qx": lin(D, hq * hd),
-                "k": lin(D, hk * hd),
-                "v": lin(D, hk * hd),
+                "q": qlin(D, hq * hd),
+                "qx": qlin(D, hq * hd),
+                "k": qlin(D, hk * hd),
+                "v": qlin(D, hk * hd),
             },
             "q_layernorm": norm(hd, jnp.float32),
             "k_layernorm": norm(hd, jnp.float32),
             "q_layernorm_xattn": norm(hd, dtype),
             "k_layernorm_xattn": norm(hd, dtype),
-            "linear_kv_xattn": lin(xh, 2 * hk * hd),
-            "linear_proj": lin(2 * hq * hd, D),
+            "linear_kv_xattn": qlin(xh, 2 * hk * hd),
+            "linear_proj": qlin(2 * hq * hd, D),
         },
         "self_attn_post_norm": norm(D, jnp.float32),
         "mlp": {
             "layer_norm": plain_norm(D, dtype),
-            "linear_fc1": lin(D, fc1_out),
-            "linear_fc2": lin(ffn, D),
+            "linear_fc1": qlin(D, fc1_out),
+            "linear_fc2": qlin(ffn, D),
         },
         "mlp_post_norm": norm(D, jnp.float32),
     }
@@ -895,6 +931,22 @@ def init_dit_params(key: jax.Array, config: MagiConfig, zeros: bool = False) -> 
         "blocks": blocks,
         "final_layernorm": norm(D, jnp.float32, stacked=False),
     }
+    if quant_bits and edge_bf16:
+        def z(i, o):
+            return {"weight": jnp.zeros((i, o), dtype)}
+
+        def edge_tree():
+            return {
+                "self_attention": {
+                    "linear_qkv": {"q": z(D, hq * hd), "qx": z(D, hq * hd),
+                                   "k": z(D, hk * hd), "v": z(D, hk * hd)},
+                    "linear_kv_xattn": z(xh, 2 * hk * hd),
+                    "linear_proj": z(2 * hq * hd, D),
+                },
+                "mlp": {"linear_fc1": z(D, fc1_out), "linear_fc2": z(ffn, D)},
+            }
+
+        params["blocks_edge"] = {"first": edge_tree(), "last": edge_tree()}
     params.update(init_embedder_params(rng, mc, zeros=zeros))
     return params
 

@@ -3,7 +3,7 @@ from magi_tpu.ops.attention import (
     segmented_attention_reference,
     segmented_attention_v2,
 )
-from magi_tpu.ops.quant import quantize_params_int8, quantized_matmul
+from magi_tpu.ops.quant import quantize_params_int4, quantize_params_int8, quantized_matmul
 
 __all__ = [
     "segmented_attention",
@@ -11,4 +11,5 @@ __all__ = [
     "segmented_attention_reference",
     "quantized_matmul",
     "quantize_params_int8",
+    "quantize_params_int4",
 ]

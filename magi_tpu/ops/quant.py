@@ -249,6 +249,12 @@ QUANTIZABLE_SUFFIXES = (
 
 
 @jax.jit
+def _quantize_stacked4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[L, in, out] -> (uint8 nibble-packed [L, in/2, out], scales [L, out])."""
+    return lax.map(quantize_int4, w)
+
+
+@jax.jit
 def _quantize_stacked(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """[L, in, out] -> (int8, scales [L, out]), layer-chunked so the fp32
     temporaries stay one layer wide (a 9GB bf16 4.5B tree quantizes in-place
@@ -278,6 +284,21 @@ def quantize_params_int8(params: dict) -> dict:
     `blocks_edge` side tree ({"first": ..., "last": ...} mirroring the
     quantizable paths); dit_forward routes those two scan steps through a
     bf16 layer via lax.cond."""
+    return _quantize_params(params, bits=8)
+
+
+def quantize_params_int4(params: dict, keep_edge_bf16: bool = True) -> dict:
+    """Nibble-packed int4 weights (w4a8): halves int8's weight memory again
+    — what fits the 23GB 24B model onto one 16GB chip (~11.5GB packed).
+    Leaves become `weight_q4` [L, in/2, out] uint8 + per-channel scales;
+    execution unpacks one layer to int8 in-scan and rides the int8
+    activation MXU path.  `keep_edge_bf16=False` drops the first/last-layer
+    bf16 side tree (saves 2 layers of bf16 when HBM is the binding
+    constraint; quality policy then deviates from the reference's)."""
+    return _quantize_params(params, bits=4, keep_edge_bf16=keep_edge_bf16)
+
+
+def _quantize_params(params: dict, bits: int, keep_edge_bf16: bool = True) -> dict:
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
 
     def set_path(tree, keys, value):
@@ -291,14 +312,19 @@ def quantize_params_int8(params: dict) -> dict:
         keys = [str(getattr(kk, "key", kk)) for kk in path]
         path_str = "/".join(keys)
         if any(path_str.endswith(sfx) for sfx in QUANTIZABLE_SUFFIXES) and leaf.ndim == 3:
-            q, s = _quantize_stacked(leaf)
-            set_path(new_tree, keys[:-1] + ["weight_q"], q)
+            if bits == 8:
+                q, s = _quantize_stacked(leaf)
+                set_path(new_tree, keys[:-1] + ["weight_q"], q)
+            else:
+                q, s = _quantize_stacked4(leaf)
+                set_path(new_tree, keys[:-1] + ["weight_q4"], q)
             set_path(new_tree, keys[:-1] + ["weight_scale"], s)
-            # bf16 copies of the edge layers (ref first/last-layer policy);
-            # keys[0] == "blocks" -> mirror the inner path under blocks_edge
-            inner = keys[1:]
-            set_path(new_tree, ["blocks_edge", "first"] + inner, leaf[0])
-            set_path(new_tree, ["blocks_edge", "last"] + inner, leaf[-1])
+            if keep_edge_bf16:
+                # bf16 copies of the edge layers (ref first/last-layer
+                # policy); keys[0] == "blocks" -> mirror under blocks_edge
+                inner = keys[1:]
+                set_path(new_tree, ["blocks_edge", "first"] + inner, leaf[0])
+                set_path(new_tree, ["blocks_edge", "last"] + inner, leaf[-1])
         else:
             set_path(new_tree, keys, leaf)
     return new_tree

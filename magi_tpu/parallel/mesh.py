@@ -236,12 +236,18 @@ def dit_param_specs(params: dict) -> dict:
             return P(*lead, None, AXIS_TP)
         if mat_nd == 2 and any(r in path for r in row) and path.endswith("weight"):
             return P(*lead, AXIS_TP, None)
-        # int8 quantized leaves (quantize_params_int8): weight_q mirrors the
-        # bf16 weight's col/row sharding; per-out-channel scales follow the
-        # out dim (sharded for col-parallel, replicated for row-parallel)
-        if mat_nd == 2 and any(c in path for c in col) and path.endswith("weight_q"):
+        # int8/int4 quantized leaves (quantize_params_int8/int4): weight_q
+        # and nibble-packed weight_q4 mirror the bf16 weight's col/row
+        # sharding (the packed in/2 dim divides tp whenever in does);
+        # per-out-channel scales follow the out dim (sharded for
+        # col-parallel, replicated for row-parallel)
+        if mat_nd == 2 and any(c in path for c in col) and (
+            path.endswith("weight_q") or path.endswith("weight_q4")
+        ):
             return P(*lead, None, AXIS_TP)
-        if mat_nd == 2 and any(r in path for r in row) and path.endswith("weight_q"):
+        if mat_nd == 2 and any(r in path for r in row) and (
+            path.endswith("weight_q") or path.endswith("weight_q4")
+        ):
             return P(*lead, AXIS_TP, None)
         if mat_nd == 1 and any(c in path for c in col) and path.endswith("weight_scale"):
             return P(*lead, AXIS_TP)

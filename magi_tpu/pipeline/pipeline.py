@@ -45,11 +45,15 @@ def get_dit(config: MagiConfig):
 
         params = load_dit_params(config)
         print_rank_0("Load checkpoint successfully")
-    if config.engine_config.fp8_quant or env_is_true("MAGI_INT8"):
-        from magi_tpu.ops.quant import quantize_params_int8
+    if config.engine_config.fp8_quant or env_is_true("MAGI_INT8") or env_is_true("MAGI_INT4"):
+        from magi_tpu.ops.quant import quantize_params_int4, quantize_params_int8
 
-        params = quantize_params_int8(params)
-        print_rank_0("Quantized DiT linears to int8 (TPU analog of fp8 execution)")
+        if config.engine_config.quant_bits == 4 or env_is_true("MAGI_INT4"):
+            params = quantize_params_int4(params)
+            print_rank_0("Quantized DiT linears to nibble-packed int4 (w4a8)")
+        else:
+            params = quantize_params_int8(params)
+            print_rank_0("Quantized DiT linears to int8 (TPU analog of fp8 execution)")
     return params
 
 

@@ -142,3 +142,63 @@ def test_int8_model_forward_close_to_fp():
         err = np.abs(a - b).max()
         assert np.isfinite(b).all()
         assert err < 0.6, err  # random-weight tiny model; loose sanity bound
+
+
+def test_int4_pack_unpack_roundtrip():
+    from magi_tpu.ops.quant import quantize_int4, unpack_int4
+
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+    packed, scale = quantize_int4(w)
+    assert packed.dtype == jnp.uint8 and packed.shape == (32, 48)
+    q = unpack_int4(packed)
+    assert q.dtype == jnp.int8 and q.shape == (64, 48)
+    assert int(jnp.abs(q).max()) <= 7
+    deq = q.astype(np.float32) * np.asarray(scale)[None]
+    amax = np.abs(np.asarray(w)).max(0)
+    assert (np.abs(deq - np.asarray(w)) <= amax / 7.0 + 1e-6).all()
+    # bf16 ride-through (pp layer-FSDP gathers int leaves as bf16) is exact
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(packed.astype(jnp.bfloat16))), np.asarray(q)
+    )
+
+
+def test_int4_model_walk_close_to_fp():
+    """w4a8 walk (nibble-packed weights, int8 activations) stays close to
+    the fp walk; edge layers bf16-exact."""
+    import jax
+
+    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.ops.quant import quantize_params_int4
+    from magi_tpu.sampling.transport import ArdfSampler
+    from tests.test_transport import make_input
+    from tests.tiny import tiny_config
+
+    cfg_a = tiny_config(model={"num_layers": 4})
+    cfg_b = tiny_config(model={"num_layers": 4})
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_a)
+    ref = [c for _, c in ArdfSampler(cfg_a, params, make_input(cfg_a, 2), jax.random.PRNGKey(7)).walk()]
+    qp = quantize_params_int4(params)
+    assert "weight_q4" in qp["blocks"]["mlp"]["linear_fc1"]
+    got = [c for _, c in ArdfSampler(cfg_b, qp, make_input(cfg_b, 2), jax.random.PRNGKey(7)).walk()]
+    for a, b in zip(ref, got):
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 1.0  # int4 random-weight sanity bound
+
+
+def test_int4_direct_zero_init_runs():
+    """quant_bits=4 init builds the quantized tree WITHOUT materializing
+    bf16 weights, and the model runs on it (the single-chip 24B path)."""
+    import jax
+
+    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.sampling.transport import ArdfSampler
+    from tests.test_transport import make_input
+    from tests.tiny import tiny_config
+
+    cfg = tiny_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg, zeros=True, quant_bits=4)
+    assert "weight_q4" in params["blocks"]["mlp"]["linear_fc1"]
+    assert "blocks_edge" in params
+    out = [c for _, c in ArdfSampler(cfg, params, make_input(cfg, 2), jax.random.PRNGKey(7)).walk()]
+    assert len(out) == 2 and all(np.isfinite(np.asarray(c)).all() for c in out)
