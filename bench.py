@@ -1,12 +1,15 @@
 """North-star benchmark: frames/sec/chip at 4.5B 480p (BASELINE.json).
 
-Headline: the REFERENCE-DEFAULT generation schedule — 64 denoise steps,
-window 4, chunk_width 6, 3-branch CFG, noise2clean kv ranges (the released
-4.5B base config, example/4.5B/4.5B_base_config.json:58-64) — measured
-steady-state: every forward step is wall-timed individually (device-synced)
-and each step-shape group contributes its median x count, so one-time jit
-compiles don't pollute the number.  A fast 8-step window-2 schedule is also
-measured (two full walks, second = steady state) and reported alongside.
+Headline: the FULL reference-default generation workload — 64 denoise
+steps, window 4, chunk_num 4 (96 frames), chunk_width 6, caption slab 800,
+3-branch CFG, noise2clean kv ranges (the released 4.5B base config,
+example/4.5B/4.5B_base_config.json:58-64) — measured as ONE fully-warm
+walk: every jitted step variant is pre-compiled on throwaway buffers
+(ArdfSampler.warm_step_variants), then every forward step of a single walk
+is wall-timed (device-synced) and summed.  No medians, no exclusions —
+with warm variants the whole walk IS steady state.  A fast 8-step
+window-2 schedule is also measured (second-of-two-walks) and reported
+alongside.
 
 Runs the real ARDF sampler with zero-initialized 4.5B weights (TPU matmul
 latency is data-independent).
@@ -63,12 +66,9 @@ def _ref_estimate_fps(config, total_steps, frames_video):
 
 
 def _steady_walk_fps(config, params, inp, key, temporal_up):
-    """One walk, each step device-synced and wall-timed; steady total =
-    per-(stage-structure) median x count — excludes one-time compiles."""
+    """Pre-compile every step variant (warm_step_variants), then time one
+    full walk step-by-step (device-synced) and sum — pure steady state."""
     import collections
-    import statistics
-
-    import jax
 
     from magi_tpu.sampling.transport import ArdfSampler
 
@@ -80,23 +80,26 @@ def _steady_walk_fps(config, params, inp, key, temporal_up):
         np.asarray(sampler.xs.ravel()[:1])
 
     sampler = ArdfSampler(config, params, inp, key)
+    n_var = sampler.warm_step_variants()
     sampler.prepare()
     sync()
     groups = collections.defaultdict(list)
     n_emitted = 0
     for step in range(sampler.total_forward_steps()):
         dpss, didx, c_start, c_end, _, _ = sampler._status(step)
-        # group steps by jit-variant structure (window width x extra-chunk
-        # flag): the first step of each NEW structure pays its compile and
-        # the median over the group excludes it
         gkey = (c_end - c_start, didx == 0 and c_start > sampler.chunk_offset)
         t0 = time.perf_counter()
         if sampler.do_step(step) is not None:
             n_emitted += 1
         sync()
         groups[gkey].append(time.perf_counter() - t0)
-    steady_total = sum(statistics.median(v) * len(v) for v in groups.values())
+    steady_total = sum(sum(v) for v in groups.values())
     frames = n_emitted * config.runtime_config.chunk_width * temporal_up
+    detail = {
+        f"w{k[0]}{'x' if k[1] else ''}": [round(min(v), 3), round(max(v), 3), len(v)]
+        for k, v in sorted(groups.items())
+    }
+    print(json.dumps({"variants_warmed": n_var, "per_group_min_max_n": detail}), file=sys.stderr)
     return frames / steady_total, steady_total, sampler.total_forward_steps(), frames
 
 
@@ -132,7 +135,8 @@ def main() -> None:
         mc.caption_max_length = 64
         rc.video_size_h = rc.video_size_w = 64
 
-    chunk_num = int(os.environ.get("MAGI_BENCH_CHUNKS", "3"))
+    # 4 chunks = 96 frames, the reference default (window-4 steps occur)
+    chunk_num = int(os.environ.get("MAGI_BENCH_CHUNKS", "4"))
     up = rc.temporal_downsample_factor
     params = init_dit_params(jax.random.PRNGKey(0), config, zeros=True)
 
@@ -165,8 +169,9 @@ def main() -> None:
     vs_baseline = (fps_full / ref_fps_full) if on_tpu else 1.0
     result = {
         "metric": (
-            f"frames/sec/chip, 4.5B 480p t2v (reference-default schedule: "
-            f"{full_steps}-step 3-CFG ARDF, window {full_window})"
+            f"frames/sec/chip, 4.5B 480p t2v (reference-default workload: "
+            f"{full_steps}-step 3-CFG ARDF, window {full_window}, "
+            f"{chunk_num} chunks, caption {mc.caption_max_length})"
             if on_tpu
             else "frames/sec/chip, CPU-smoke tiny model"
         ),

@@ -157,7 +157,7 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
 
     heads = mesh_lib.HEAD_AXES
     qspec = P(None, heads, None)
-    kvspec = P(None, None, heads, None)
+    kvspec = P(None, heads, None, None)  # [2, hk, len, hd] kernel layout
     if q_pro is None:
         fn = jax.shard_map(
             functools.partial(impl, seg_len=seg_len),
@@ -420,7 +420,7 @@ def attention_forward(
     y_xattn: jnp.ndarray,  # [n_seg, L, xattn_hidden] (fp32 from embedder)
     sin: jnp.ndarray,
     cos: jnp.ndarray,
-    cache_l: jnp.ndarray,  # [max_tok, hk, 2*hd]
+    cache_l: jnp.ndarray,  # [2, hk*rep, max_tok, hd] — kernel layout
     meta: ForwardMeta,
     high_precision: bool,
     act_quant_ok=False,
@@ -460,27 +460,35 @@ def attention_forward(
         q = layer_norm(q, p["q_layernorm"], eps, zc, compute_dtype=jnp.float32)
         q = apply_rotary(q, sin, cos).astype(x.dtype)
 
-    k = k.reshape(S, hk, hd)
-    k = layer_norm(k, p["k_layernorm"], eps, zc, compute_dtype=jnp.float32)
-    k = apply_rotary(k, sin, cos).astype(x.dtype)
-
     v = v.reshape(S, hk, hd)
+    k = k.reshape(S, hk, hd)
 
-    # GQA kv-head replication when head shards > kv heads (lifts the 8-way
-    # Ulysses cap; ref: context_parallel.py:393-394).  The KV cache stores
-    # the replicated heads so it shards evenly over the head axes.
+    # --- fused k-side epilogue: fp32 k-layernorm + rotary + bf16 cast +
+    # pack into the kernel/cache layout [2, hk*rep, S, hd], with GQA
+    # head replication (lifts the 8-way Ulysses cap when head shards >
+    # kv heads, ref: context_parallel.py:393-394) done by the output
+    # grid.  The Pallas version removes the fp32 k materialization, its
+    # relayout copies, the stack copy AND (cache stored in this layout)
+    # the per-layer cache transpose (docs/perf_notes.md k-side item). ---
+    from magi_tpu.ops.attention import kv_norm_rope_pack, kv_norm_rope_pack_reference
     from magi_tpu.parallel import mesh as mesh_lib
 
     rep = mesh_lib.kv_replication(hq, hk)
-    if rep > 1:
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-    kv = jnp.stack([k, v], axis=0)  # [2, S, hk*rep, hd]
+    kw = p["k_layernorm"]["weight"].astype(jnp.float32) + (1.0 if zc else 0.0)
+    kb = p["k_layernorm"]["bias"].astype(jnp.float32)
+    if _use_pallas() and hd % 128 == 0 and mesh_lib.model_parallel_trivial():
+        kv = kv_norm_rope_pack(k, v, kw, kb, sin, cos, eps=eps, rep=rep, out_dtype=x.dtype)
+    else:
+        # XLA path (CPU / meshes — a Pallas call is opaque to the SPMD
+        # partitioner and would replicate sharded operands)
+        kv = kv_norm_rope_pack_reference(k, v, kw, kb, sin, cos, eps=eps, rep=rep, out_dtype=x.dtype)
 
     # --- KV cache (ref: dit_module.py:891-946) ---
     # The global ranges [s, e) span cache tokens [0, C0) followed by the
     # current window; split them into per-source ranges so the cache stays
     # a read-only buffer (no per-layer cache⊕current copy).
+    gs = meta.self_attn.kv_start
+    ge = meta.self_attn.kv_end
     if meta.use_kv_cache:
         start_tok = meta.slice_point * ctn
         if meta.update_kv_cache:
@@ -488,12 +496,10 @@ def attention_forward(
             # (ref: dit_module.py:918-929)
             clip = S - ctn if meta.distill_nearly_clean_chunk else S
             new_cache_l = lax.dynamic_update_slice(
-                cache_l, kv[:, :clip].astype(cache_l.dtype), (0, start_tok, 0, 0)
+                cache_l, kv[:, :, :clip].astype(cache_l.dtype), (0, 0, start_tok, 0)
             )
         else:
             new_cache_l = cache_l
-        gs = meta.self_attn.kv_start
-        ge = meta.self_attn.kv_end
         r1s = jnp.minimum(gs, start_tok)
         r1e = jnp.minimum(ge, start_tok)
         r2s = jnp.maximum(gs - start_tok, 0)
@@ -503,10 +509,14 @@ def attention_forward(
             q_pro=q_pro,
         )
     else:
+        # no-cache forwards (the uncond CFG branch) ride the same
+        # two-source kernel with an EMPTY first source — the packed kv is
+        # already in kernel layout, so no relayout back to [S, hk, hd]
         new_cache_l = cache_l
-        core = _attention(
-            q, k, v, meta.self_attn.kv_start, meta.self_attn.kv_end,
-            seg_len=ctn, q_pro=q_pro,
+        zero_kv = jnp.zeros((2, kv.shape[1], 0, hd), kv.dtype)
+        z = jnp.zeros_like(gs)
+        core = _attention_cached(
+            q, zero_kv, kv, z, z, gs, ge, seg_len=ctn, q_pro=q_pro,
         )
     core = core.reshape(S, hq * hd)
 
@@ -726,7 +736,7 @@ def dit_layer_step(
     config: MagiConfig,
     idx: jnp.ndarray,  # int32 scalar layer index
     h: jnp.ndarray,
-    cache_l: jnp.ndarray,  # [2, max_tok, hk, hd] — THIS layer's cache slab
+    cache_l: jnp.ndarray,  # [2, hk, max_tok, hd] — THIS layer's cache slab
     condition: jnp.ndarray,
     y_xattn: jnp.ndarray,
     sin: jnp.ndarray,
@@ -754,7 +764,7 @@ def dit_forward(
     t: jnp.ndarray,  # [n_seg] timesteps
     y: jnp.ndarray,  # [n_seg, L, caption_channels]
     caption_dropout: jnp.ndarray,  # scalar bool
-    kv_cache: jnp.ndarray,  # [num_layers, 2, max_tok, hk, hd]
+    kv_cache: jnp.ndarray,  # [num_layers, 2, hk, max_tok, hd] (kernel layout)
     meta: ForwardMeta,
     t_offsets: jnp.ndarray,  # int32 [n_seg] temporal patch-grid offsets
     distill_factor: Optional[jnp.ndarray] = None,
@@ -1001,13 +1011,16 @@ def init_dit_params_on_device(key: jax.Array, config: MagiConfig) -> dict:
 
 
 def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
-    # [layers, k|v, tokens, kv_heads, head_dim]; kv heads carry the GQA
-    # replication factor under wide head-sharded meshes (mesh.kv_replication)
+    # [layers, k|v, kv_heads, tokens, head_dim] — the attention KERNEL's
+    # layout, so cache reads need zero relayout (the two-source kernel
+    # DMAs [head, token-slice, :] directly from this buffer); kv heads
+    # carry the GQA replication factor under wide head-sharded meshes
+    # (mesh.kv_replication)
     from magi_tpu.parallel.mesh import kv_replication
 
     mc = config.model_config
     rep = kv_replication(mc.num_attention_heads, mc.num_query_groups)
-    return (mc.num_layers, 2, max_tokens, mc.num_query_groups * rep, mc.kv_channels)
+    return (mc.num_layers, 2, mc.num_query_groups * rep, max_tokens, mc.kv_channels)
 
 
 def init_kv_cache(config: MagiConfig, max_tokens: int, dtype=None) -> jnp.ndarray:

@@ -157,9 +157,12 @@ _MAX_SCORE_ELEMS = 1_048_576  # rows * block_k <= 1M -> s+p = 8MB + temps
 
 def _fit_group_blocks(q_per_kv: int, block_q: int, block_k: int) -> tuple[int, int]:
     """Shrink (block_q, block_k) until the GQA-folded score tile
-    (q_per_kv*block_q, block_k) fits the kernel stack budget."""
+    (q_per_kv*block_q, block_k) fits the kernel stack budget.  block_k must
+    stay a NUM_LANES multiple (the kernel tiles m/l by block_k//128): a
+    plain halving of e.g. 896 (caption-800 kv rounded up) gave 448 and a
+    trace-time broadcast failure."""
     while q_per_kv * block_q * block_k > _MAX_SCORE_ELEMS and block_k > 512:
-        block_k //= 2
+        block_k = round_up(block_k // 2, NUM_LANES)
     while q_per_kv * block_q * block_k > _MAX_SCORE_ELEMS and block_q > 128:
         block_q //= 2
     return block_q, block_k
@@ -542,6 +545,114 @@ def segmented_attention_v2(
     return out.reshape(total_q, hq, hd)
 
 
+def _kv_epilogue_kernel(kw_ref, kb_ref, sin_ref, cos_ref, k_ref, v_ref, out_ref, *, rot: int, eps: float):
+    kf = k_ref[...].astype(jnp.float32)  # [block_s, hd]
+    mean = jnp.mean(kf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(kf - mean), axis=-1, keepdims=True)
+    kn = (kf - mean) * lax.rsqrt(var + eps)
+    kn = kn * kw_ref[0][None, :] + kb_ref[0][None, :]
+    if rot:
+        sin = sin_ref[...]
+        cos = cos_ref[...]
+        x1 = kn[:, :rot]
+        x2 = kn[:, rot : 2 * rot]
+        tail = kn[:, 2 * rot :]
+        kn = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1)
+    out_ref[0, 0] = kn.astype(out_ref.dtype)
+    out_ref[1, 0] = v_ref[...].astype(out_ref.dtype)
+
+
+def kv_norm_rope_pack(
+    k: jax.Array,  # [S, hk, hd] RAW (pre-norm, pre-rope)
+    v: jax.Array,  # [S, hk, hd]
+    kw: jax.Array,  # f32 [hd] k-layernorm gamma (+1 pre-applied by caller)
+    kb: jax.Array,  # f32 [hd]
+    sin: jax.Array,  # f32 [S, rot] or None
+    cos: jax.Array,
+    *,
+    eps: float,
+    rep: int = 1,
+    out_dtype=None,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused k-side epilogue: fp32 k-layernorm + rotary + bf16 cast + pack
+    into the attention-kernel / KV-cache layout [2, hk*rep, S, hd], with
+    GQA head replication done by the output grid (mesh.kv_replication).
+
+    Replaces, per layer per forward: the fp32 k materialization and its
+    relayout copies, the separate rotary pass, the jnp.stack copy, and —
+    because the cache now STORES this layout — the per-layer cache
+    transpose the two-source wrapper used to do (docs/perf_notes.md
+    'k-side' item).  The head dim stays 1 per grid step, so the layout
+    change is pure output indexing (no in-kernel transpose)."""
+    S, hk, hd = k.shape
+    assert v.shape == k.shape and hd % NUM_LANES == 0
+    out_dtype = out_dtype or k.dtype
+    rot = 0 if sin is None else int(sin.shape[-1])
+    block_s = min(block_s, round_up(S, 8))
+    grid = (hk * rep, pl.cdiv(S, block_s))
+
+    in_specs = [
+        pl.BlockSpec((1, hd), lambda g, st: (0, 0)),
+        pl.BlockSpec((1, hd), lambda g, st: (0, 0)),
+    ]
+    operands = [kw.astype(jnp.float32).reshape(1, hd), kb.astype(jnp.float32).reshape(1, hd)]
+    if rot:
+        operands += [sin.astype(jnp.float32), cos.astype(jnp.float32)]
+        in_specs += [
+            pl.BlockSpec((block_s, rot), lambda g, st: (st, 0)),
+            pl.BlockSpec((block_s, rot), lambda g, st: (st, 0)),
+        ]
+    # k/v as 2D [S, hk*hd] views: the column index map selects head g//rep's
+    # hd-wide slice (a singleton middle head dim would violate Mosaic's
+    # last-two-dims tiling rule); the reshape from the projection output is
+    # free
+    operands += [k.reshape(S, hk * hd), v.reshape(S, hk * hd)]
+    in_specs += [
+        pl.BlockSpec((block_s, hd), lambda g, st, _r=rep: (st, g // _r)),
+        pl.BlockSpec((block_s, hd), lambda g, st, _r=rep: (st, g // _r)),
+    ]
+
+    def kernel(*refs):
+        if rot:
+            kw_r, kb_r, sin_r, cos_r, k_r, v_r, o_r = refs
+        else:
+            kw_r, kb_r, k_r, v_r, o_r = refs
+            sin_r = cos_r = None
+        _kv_epilogue_kernel(kw_r, kb_r, sin_r, cos_r, k_r, v_r, o_r, rot=rot, eps=float(eps))
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((2, 1, block_s, hd), lambda g, st: (0, g, st, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, hk * rep, S, hd), out_dtype),
+        interpret=interpret,
+    )(*operands)
+
+
+def kv_norm_rope_pack_reference(k, v, kw, kb, sin, cos, *, eps, rep=1, out_dtype=None):
+    """XLA path (CPU / meshes): same math, plain ops."""
+    out_dtype = out_dtype or k.dtype
+    kf = k.astype(jnp.float32)
+    mean = jnp.mean(kf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(kf - mean), axis=-1, keepdims=True)
+    kn = (kf - mean) * lax.rsqrt(var + eps)
+    kn = kn * kw.astype(jnp.float32)[None, None, :] + kb.astype(jnp.float32)[None, None, :]
+    if sin is not None:
+        rot = sin.shape[-1]
+        s_ = sin.astype(jnp.float32)[:, None, :]
+        c_ = cos.astype(jnp.float32)[:, None, :]
+        x1, x2, tail = kn[..., :rot], kn[..., rot : 2 * rot], kn[..., 2 * rot :]
+        kn = jnp.concatenate([x1 * c_ - x2 * s_, x1 * s_ + x2 * c_, tail], axis=-1)
+    kv = jnp.stack([kn.astype(out_dtype), v.astype(out_dtype)], axis=0)
+    kv = kv.transpose(0, 2, 1, 3)  # [2, hk, S, hd]
+    if rep > 1:
+        kv = jnp.repeat(kv, rep, axis=1)
+    return kv
+
+
 def _seg_attn_kernel_two_source(
     # scalar prefetch: per-segment ranges into each source
     r1_start_ref,
@@ -685,8 +796,8 @@ def _seg_attn_kernel_two_source(
 
 def segmented_attention_two_source(
     q: jax.Array,  # [n_seg * seg_len, hq, hd]
-    kv1: jax.Array,  # [2, kv1_len, hk, hd] (k, v stacked)
-    kv2: jax.Array,  # [2, kv2_len, hk, hd]
+    kv1: jax.Array,  # [2, hk, kv1_len, hd] — KERNEL layout (k, v stacked)
+    kv2: jax.Array,  # [2, hk, kv2_len, hd]
     r1_start: jax.Array,
     r1_end: jax.Array,
     r2_start: jax.Array,
@@ -703,8 +814,8 @@ def segmented_attention_two_source(
     #                    fp32 QK-layernorm + rotary in its prologue
 ) -> jax.Array:
     total_q, hq, hd = q.shape
-    _, kv1_len, hk, _ = kv1.shape
-    _, kv2_len, hk2, _ = kv2.shape
+    _, hk, kv1_len, _ = kv1.shape
+    _, hk2, kv2_len, _ = kv2.shape
     assert hk == hk2
     if not interpret:
         assert hd % NUM_LANES == 0, (
@@ -728,11 +839,14 @@ def segmented_attention_two_source(
     q_r = q_r.transpose(0, 2, 1, 3).reshape(n_seg, hk, q_per_kv, seg_pad, hd)
 
     def prep(kv, n):
+        # inputs arrive in kernel layout already (the KV cache is STORED as
+        # [2, hk, tok, hd] and the current kv comes from kv_norm_rope_pack)
+        # — only trailing token padding to a block multiple remains, and the
+        # sampler allocates the cache block-aligned so kv1 skips even that
         pad = round_up(max(n, 1), block_k)
-        out = kv.transpose(0, 2, 1, 3)  # [2, hk, n, hd]
         if pad != n:
-            out = jnp.pad(out, ((0, 0), (0, 0), (0, pad - n), (0, 0)))
-        return out
+            kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad - n), (0, 0)))
+        return kv
 
     kv1_r = prep(kv1, kv1_len)
     kv2_r = prep(kv2, kv2_len)
@@ -814,14 +928,15 @@ def segmented_attention_two_source_reference(
     q, kv1, kv2, r1_start, r1_end, r2_start, r2_end, *, seg_len, sm_scale=None
 ):
     """Dense reference: concatenate both sources and mask with the union of
-    the two (offset) intervals."""
+    the two (offset) intervals.  kv layout matches the kernel:
+    [2, hk, len, hd]."""
     total_q, hq, hd = q.shape
-    _, L1, hk, _ = kv1.shape
+    _, hk, L1, _ = kv1.shape
     if sm_scale is None:
         sm_scale = hd ** -0.5
     n_seg = total_q // seg_len
-    k = jnp.concatenate([kv1[0], kv2[0]], axis=0)
-    v = jnp.concatenate([kv1[1], kv2[1]], axis=0)
+    k = jnp.concatenate([kv1[0].transpose(1, 0, 2), kv2[0].transpose(1, 0, 2)], axis=0)
+    v = jnp.concatenate([kv1[1].transpose(1, 0, 2), kv2[1].transpose(1, 0, 2)], axis=0)
     q_per_kv = hq // hk
     kf = jnp.repeat(k.astype(jnp.float32), q_per_kv, axis=1)
     vf = jnp.repeat(v.astype(jnp.float32), q_per_kv, axis=1)

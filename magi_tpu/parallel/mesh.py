@@ -272,14 +272,14 @@ def shard_dit_params(params: dict, mesh: Optional[Mesh] = None) -> dict:
 
 
 def kv_cache_spec() -> P:
-    """Cache [L, 2, tok, hk, hd]: kv heads over cp×pp×tp (matches the
-    attention shard_map's head axes, so the read-only cache enters the
-    kernel with ZERO boundary traffic).  The layer dim stays UNSHARDED on
-    purpose: `lax.scan` slices it every step, and slicing a sharded dim
-    makes the SPMD partitioner hoist a full-stack all-gather out of the
-    loop (measured — see docs/pp_scaling.md).  Total cache memory per
-    device is 1/(cp·pp·tp) either way."""
-    return P(None, None, None, HEAD_AXES, None)
+    """Cache [L, 2, hk, tok, hd] (kernel layout): kv heads over cp×pp×tp
+    (matches the attention shard_map's head axes, so the read-only cache
+    enters the kernel with ZERO boundary traffic).  The layer dim stays
+    UNSHARDED on purpose: `lax.scan` slices it every step, and slicing a
+    sharded dim makes the SPMD partitioner hoist a full-stack all-gather
+    out of the loop (measured — see docs/pp_scaling.md).  Total cache
+    memory per device is 1/(cp·pp·tp) either way."""
+    return P(None, None, HEAD_AXES, None, None)
 
 
 def pp_num_shards() -> int:

@@ -104,7 +104,15 @@ class MagiPipeline:
             )
             keys.append(jax.random.fold_in(self.key, i))
 
-        sampler = DpBatchedSampler(self.config, params, inps, keys)
+        try:
+            sampler = DpBatchedSampler(self.config, params, inps, keys)
+        except AssertionError as e:
+            # lockstep dp batching needs identical schedules/latent shapes;
+            # mixed-shape batches degrade to round-robin interleaving (a
+            # serving layer wanting true mixed-shape batching should bucket
+            # requests by shape in front of this)
+            print_rank_0(f"dp batch shapes mismatch ({e}); falling back to interleaved mode")
+            return self.run_text_to_video_many(prompts, output_paths)
         total = inps[0].chunk_num - sampler.chunk_offset
         segments = [[] for _ in prompts]
         with maybe_trace("walk_batch"):

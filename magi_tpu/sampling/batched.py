@@ -142,7 +142,8 @@ def _batched_steps(config: MagiConfig):
             jax.jit(cfg1, static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
                     donate_argnums=(1, 2)),
             jax.jit(warmup, static_argnames=("n_chunks",), donate_argnums=(1,)),
-            jax.jit(lambda c, s: jnp.roll(c, -s, axis=3), donate_argnums=(0,)),
+            # batched cache [R, L, 2, hk, tok, hd]: token axis is 4
+            jax.jit(lambda c, s: jnp.roll(c, -s, axis=4), donate_argnums=(0,)),
         )
     return _BATCH_JIT_CACHE[key]
 
@@ -233,3 +234,9 @@ class DpBatchedSampler(ArdfSampler):
         (self._jit_cfg3, self._jit_cfg1, self._jit_warmup, self._jit_roll) = _batched_steps(
             config
         )
+
+    def warm_step_variants(self) -> int:
+        # the base warm chain rebuilds SINGLE-request state; the batched
+        # sampler's xs/cache carry a leading request axis — skip (the
+        # lockstep walk compiles its variants on first occurrence)
+        return 0

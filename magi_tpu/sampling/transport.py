@@ -132,7 +132,7 @@ def _jitted_steps(config: MagiConfig):
                 static_argnames=("n_chunks",),
                 donate_argnums=(1,),
             ),
-            jax.jit(lambda c, s: jnp.roll(c, -s, axis=2), donate_argnums=(0,)),
+            jax.jit(lambda c, s: jnp.roll(c, -s, axis=3), donate_argnums=(0,)),
         )
     return _JIT_CACHE[key]
 
@@ -178,6 +178,18 @@ class ArdfSampler:
         # separately)
         full_chunks = self.chunk_num
         self.host_mode = bool(ec.kv_offload and not rc.noise2clean_kvrange)
+        if self.host_mode:
+            from magi_tpu.parallel.mesh import model_parallel_trivial
+
+            if not model_parallel_trivial():
+                # on a mesh the cache already shards 1/(cp*pp*tp) — HBM
+                # scales with the slice, so host streaming buys nothing
+                print_rank_0(
+                    "kv_offload with default kv ranges ignored on a "
+                    "model-parallel mesh (cache is sharded; host streaming "
+                    "is the single-chip fallback)"
+                )
+                self.host_mode = False
         if ec.kv_offload and rc.noise2clean_kvrange:
             span = max(rc.noise2clean_kvrange)
             if rc.clean_chunk_kvrange != -1:
@@ -188,22 +200,23 @@ class ArdfSampler:
             self.cache_chunks = full_chunks
         self.cache_base = 0  # chunk index of cache slot 0
         self.counts: Counter = Counter()
-        if self.host_mode:
-            from magi_tpu.parallel.mesh import model_parallel_trivial
+        # token capacity block-aligned (1024 = attention kernel block_k):
+        # the kernel DMAs token tiles straight out of the cache buffer, and
+        # alignment means its boundary tiles never read past the allocation
+        # (the range mask discards the pad lanes; no per-call re-pad copy)
+        from magi_tpu.core.utils import round_up
 
-            assert model_parallel_trivial(), (
-                "host-offloaded KV (kv_offload with default kv ranges) is a "
-                "single-chip feature; on a mesh the cache already shards "
-                "1/(cp*pp*tp)"
-            )
+        cache_tokens = self._cache_tokens = round_up(self.cache_chunks * self.ctn, 1024)
+        self._init_key = key
+        if self.host_mode:
             self.cache = None
-            self.host_cache = HostKVCache(config, self.cache_chunks * self.ctn)
+            self.host_cache = HostKVCache(config, cache_tokens)
             self._stream = _stream_jits(config)
         else:
             from magi_tpu.parallel.mesh import shard_kv_cache
 
             # mesh-aware placement (kv heads over cp×pp×tp); no-op single-device
-            self.cache = shard_kv_cache(init_kv_cache(config, self.cache_chunks * self.ctn))
+            self.cache = shard_kv_cache(init_kv_cache(config, cache_tokens))
 
         self.chunk_offset = 0
         if inp.prefix_video is not None:
@@ -245,6 +258,69 @@ class ArdfSampler:
         dpss = self.num_steps // self.window
         return dpss * (self.chunk_num + self.window - 1 - self.chunk_offset)
 
+    def warm_step_variants(self) -> int:
+        """Compile every jitted step variant of this walk ONCE on throwaway
+        buffers (the step fns donate xs/cache, so real state is untouched).
+        A timed walk afterwards measures pure steady state: without this,
+        late-appearing variants (the extra-chunk didx==0 steps occur once
+        per stage) would pay their jit compile inside the measurement.
+        Returns the number of variants compiled."""
+        if self.host_mode:
+            return 0  # streamed mode: per-layer fns compile on first use
+        rc, ec, inp = self.config.runtime_config, self.config.engine_config, self.inp
+        # chain the warm calls through the sampler's OWN xs/cache buffers
+        # (each call donates them and returns same-shaped outputs) — a
+        # fresh cache per variant would hold several multi-GB buffers in
+        # flight at once and OOM HBM; pristine state is rebuilt after.
+        xs, cache = self.xs, self.cache
+        self.xs = self.cache = None
+        seen = set()
+        for step in range(self.total_forward_steps()):
+            p = self._plan(step)
+            key = (p["n_den"], p["extra"], p["use_prefix"], p["distill_nearly"])
+            if key in seen:
+                continue
+            seen.add(key)
+            n_den, extra, n_seg = p["n_den"], p["extra"], p["n_seg"]
+            # synthetic sp/ranges: only shapes + statics drive compilation,
+            # values just have to stay inside the cache/current-kv buffers
+            kv_s = np.zeros(n_seg, np.int32)
+            kv_e = (np.arange(n_seg, dtype=np.int32) + 1) * self.ctn
+            if rc.cfg_number == 3:
+                ps, ts_ = self._cfg_scales(p["tvec_padded"][-n_den:])
+                xs, cache = self._jit_cfg3(
+                    self.params, xs, cache, jnp.int32(0), jnp.int32(0),
+                    self._text_embs, jnp.asarray(p["y_lens_win"]), inp.null_emb,
+                    jnp.int32(inp.null_len), jnp.asarray(p["tvec"]),
+                    jnp.asarray(kv_s), jnp.asarray(kv_e), jnp.asarray(p["dt"]),
+                    jnp.asarray(ps), jnp.asarray(ts_), self.prefix_buf,
+                    jnp.int32(self.prefix_len), n_den=n_den, extra=extra,
+                    use_prefix=p["use_prefix"], pack=ec.pack_uncond,
+                )
+            else:
+                dfac = (
+                    sched.distill_dt_factor(self.num_steps, float(self.interval[p["didx"]]))
+                    if ec.distill else 0.0
+                )
+                xs, cache = self._jit_cfg1(
+                    self.params, xs, cache, jnp.int32(0), jnp.int32(0),
+                    self._text_embs, jnp.asarray(p["y_lens_win"]), inp.null_emb,
+                    jnp.int32(inp.null_len), jnp.asarray(p["tvec"]),
+                    jnp.asarray(kv_s), jnp.asarray(kv_e), jnp.asarray(p["dt"]),
+                    jnp.float32(dfac), jnp.float32(inp.prev_chunks_scale),
+                    self.prefix_buf, jnp.int32(self.prefix_len), n_den=n_den,
+                    extra=extra, use_prefix=p["use_prefix"],
+                    distill_nearly=p["distill_nearly"],
+                )
+        # rebuild pristine state (delete first: never two caches alive)
+        del xs, cache
+        from magi_tpu.parallel.mesh import shard_kv_cache
+
+        self.cache = shard_kv_cache(init_kv_cache(self.config, self._cache_tokens))
+        self.xs = jax.random.normal(self._init_key, inp.latent_size, dtype=jnp.float32)
+        self._warmed = False  # prefix warmup state was part of the chain
+        return len(seen)
+
     def _cfg_scales(self, cfg_t: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Per-chunk CFG scales via t-range lookup (ref: dit_model.py:496-499)."""
         rc = self.config.runtime_config
@@ -272,12 +348,10 @@ class ArdfSampler:
             self._run_prefix_warmup()
             self._warmed = True
 
-    def do_step(self, step: int) -> Optional[Tuple[int, np.ndarray]]:
-        """Run ONE denoise step; returns (chunk_idx, latent) if a chunk
-        finished (the WorkStatus unit of the reference's work queue,
-        ref: video_generate.py:237-240)."""
+    def _plan(self, step: int) -> dict:
+        """Pure host arithmetic for one step (schedule, ranges, flags) —
+        shared by do_step and warm_step_variants; touches no device state."""
         rc, ec = self.config.runtime_config, self.config.engine_config
-        inp = self.inp
         dpss, didx, c_start, c_end, t_start, t_end = self._status(step)
         n_den = c_end - c_start
         extra = bool(c_start > self.chunk_offset and didx == 0)
@@ -313,6 +387,27 @@ class ArdfSampler:
         if rc.cfg_number == 1:
             nearly_clean_t = float(tvec_padded[int(extra)])
             distill_nearly = bool(nearly_clean_t > ec.distill_nearly_clean_chunk_threshold)
+
+        return dict(
+            didx=didx, c_start=c_start, c_end=c_end, n_den=n_den, extra=extra,
+            sp=sp, n_seg=n_seg, tvec=tvec, tvec_padded=tvec_padded,
+            kv_start=kv_start, kv_end=kv_end, dt=dt, y_lens_win=y_lens_win,
+            use_prefix=use_prefix, distill_nearly=distill_nearly,
+        )
+
+    def do_step(self, step: int) -> Optional[Tuple[int, np.ndarray]]:
+        """Run ONE denoise step; returns (chunk_idx, latent) if a chunk
+        finished (the WorkStatus unit of the reference's work queue,
+        ref: video_generate.py:237-240)."""
+        rc, ec = self.config.runtime_config, self.config.engine_config
+        inp = self.inp
+        p = self._plan(step)
+        didx, c_start, c_end = p["didx"], p["c_start"], p["c_end"]
+        n_den, extra, sp, n_seg = p["n_den"], p["extra"], p["sp"], p["n_seg"]
+        tvec, tvec_padded = p["tvec"], p["tvec_padded"]
+        kv_start, kv_end, dt = p["kv_start"], p["kv_end"], p["dt"]
+        y_lens_win, use_prefix = p["y_lens_win"], p["use_prefix"]
+        distill_nearly = p["distill_nearly"]
 
         # slide the cache window forward if this step would overflow it
         need_hi = sp + n_seg
@@ -691,7 +786,7 @@ def _cfg3_step(
         )
         v3, _ = dit_forward(
             params, config, x_chunk[:, -dw:], tvec[-n_den:], y_null[:n_den], jnp.asarray(True),
-            jnp.zeros((mc.num_layers, 0) + cache.shape[2:], cache.dtype), meta3,
+            jnp.zeros(cache.shape[:3] + (0,) + cache.shape[4:], cache.dtype), meta3,
             jnp.zeros(n_den, jnp.int32),
         )
 
@@ -863,7 +958,7 @@ class HostKVCache:
     def __init__(self, config: MagiConfig, max_tokens: int):
         import ml_dtypes
 
-        shape = kv_cache_shape(config, max_tokens)  # [L, 2, tok, hk, hd]
+        shape = kv_cache_shape(config, max_tokens)  # [L, 2, hk, tok, hd]
         dt = config.model_config.params_dtype
         np_dt = ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
         self.buf = np.zeros(shape, np_dt)
@@ -921,7 +1016,7 @@ def _s_uncond(config, params, x_den, t_den, y_null, lens_null, *, n_den):
     meta3 = _meta(n_den, ctn, HP, WP, 0, u_start, u_end, lens_null_den,
                   update=False, use_cache=False)
     dummy = jnp.zeros(
-        (mc.num_layers, 2, 0, mc.num_query_groups, mc.kv_channels), mc.params_dtype
+        (mc.num_layers, 2, mc.num_query_groups, 0, mc.kv_channels), mc.params_dtype
     )
     v3, _ = dit_forward(params, config, x_den, t_den, y_null_den, jnp.asarray(True),
                         dummy, meta3, jnp.zeros(n_den, jnp.int32))

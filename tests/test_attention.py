@@ -145,3 +145,23 @@ def test_v2_fused_q_prologue_norm_rope(rng):
                k, v, ks, ke)
     got2 = V2(q, k, v, ks, ke, q_prologue=(w, b, None, None, 1e-6))
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-5, rtol=2e-5)
+
+
+def test_v2_blocks_stay_lane_aligned_at_caption_kv_shapes():
+    """Regression: kv=896 (caption-800 rounded to lanes) with q_per_kv=3
+    used to shrink block_k to 448 — not a NUM_LANES multiple — and fail at
+    trace time inside the kernel (tile 384 vs scores 448).  Trace-only."""
+    import functools
+
+    from magi_tpu.ops.attention import _fit_group_blocks, segmented_attention_v2
+
+    bq, bk = _fit_group_blocks(3, 512, 896)
+    assert bk % 128 == 0 and bq % 128 == 0
+    q = jax.ShapeDtypeStruct((5400, 24, 128), jnp.bfloat16)
+    kv = jax.ShapeDtypeStruct((896, 8, 128), jnp.bfloat16)
+    rng_spec = jax.ShapeDtypeStruct((1,), jnp.int32)
+    out = jax.eval_shape(
+        functools.partial(segmented_attention_v2, seg_len=5400, block_q=512, block_k=1024),
+        q, kv, kv, rng_spec, rng_spec,
+    )
+    assert out.shape == (5400, 24, 128)

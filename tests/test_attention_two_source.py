@@ -16,8 +16,9 @@ ATTN = functools.partial(segmented_attention_two_source, interpret=True, block_q
 
 def make(rng, n_seg, seg_len, L1, L2, hq, hk, hd):
     q = jnp.asarray(rng.normal(size=(n_seg * seg_len, hq, hd)), jnp.float32)
-    kv1 = jnp.asarray(rng.normal(size=(2, L1, hk, hd)), jnp.float32)
-    kv2 = jnp.asarray(rng.normal(size=(2, L2, hk, hd)), jnp.float32)
+    # kernel layout [2, hk, len, hd] (the KV-cache storage layout)
+    kv1 = jnp.asarray(rng.normal(size=(2, hk, L1, hd)), jnp.float32)
+    kv2 = jnp.asarray(rng.normal(size=(2, hk, L2, hd)), jnp.float32)
     return q, kv1, kv2
 
 
@@ -96,3 +97,25 @@ def test_fused_q_prologue_matches_external_norm_rope(rng):
     got = ATTN(q, kv1, kv2, a1, b1, a2, b2, seg_len=ctn,
                q_prologue=(w, b, sin, cos, eps))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_kv_norm_rope_pack_matches_reference(rng):
+    """Fused k-norm+rope+pack epilogue == the plain-XLA path, incl. GQA
+    head replication by the output grid."""
+    import jax.numpy as jnp
+
+    from magi_tpu.ops.attention import kv_norm_rope_pack, kv_norm_rope_pack_reference
+
+    S, hk, hd, rot = 200, 2, 128, 48
+    k = jnp.asarray(rng.normal(size=(S, hk, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, hk, hd)), jnp.float32)
+    kw = jnp.asarray(rng.normal(size=(hd,)), jnp.float32)
+    kb = jnp.asarray(rng.normal(size=(hd,)), jnp.float32)
+    sin = jnp.asarray(rng.normal(size=(S, rot)), jnp.float32)
+    cos = jnp.asarray(rng.normal(size=(S, rot)), jnp.float32)
+    for rep in (1, 2):
+        got = kv_norm_rope_pack(k, v, kw, kb, sin, cos, eps=1e-6, rep=rep,
+                                block_s=64, interpret=True)
+        want = kv_norm_rope_pack_reference(k, v, kw, kb, sin, cos, eps=1e-6, rep=rep)
+        assert got.shape == (2, hk * rep, S, hd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)

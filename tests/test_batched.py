@@ -122,3 +122,21 @@ def test_batch_shape_validation():
             cfg, init_dit_params(jax.random.PRNGKey(0), cfg), inps,
             [jax.random.PRNGKey(0), jax.random.PRNGKey(1)],
         )
+
+
+def test_batched_sliding_kv_offload_roll():
+    """Batched walk with the sliding-window kv_offload cache (the roll
+    engages mid-walk) == independent walks.  Regression: the batched roll
+    axis was off by one vs the stacked cache layout."""
+    kw = dict(
+        runtime={"noise2clean_kvrange": [2, 1], "clean_chunk_kvrange": 1},
+        engine={"kv_offload": True},
+    )
+    cfg = tiny_config(**kw)
+    inps = [make_input(cfg, 6, key=0), make_input(cfg, 6, key=1)]
+    keys = [jax.random.PRNGKey(21), jax.random.PRNGKey(22)]
+    # the sliding window must actually be smaller than the chunk grid
+    probe = ArdfSampler(cfg, init_dit_params(jax.random.PRNGKey(0), cfg), inps[0], keys[0])
+    assert probe.cache_chunks < probe.chunk_num
+    del probe
+    _compare(tiny_config(**kw), inps, keys)

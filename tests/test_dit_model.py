@@ -127,9 +127,10 @@ def test_cache_write_region():
     # ranges: attend [0, 3*ctn)
     _, new_cache = run(x, t, y, meta, cache)
     nc = np.asarray(new_cache)
-    assert (nc[:, :, : 2 * CTN] == 7.0).all()
-    assert (nc[:, :, 3 * CTN :] == 7.0).all()
-    assert not (nc[:, :, 2 * CTN : 3 * CTN] == 7.0).all()
+    # cache layout [L, 2, hk, tok, hd]: tokens are axis 3
+    assert (nc[:, :, :, : 2 * CTN] == 7.0).all()
+    assert (nc[:, :, :, 3 * CTN :] == 7.0).all()
+    assert not (nc[:, :, :, 2 * CTN : 3 * CTN] == 7.0).all()
 
 
 def test_no_cache_branch():

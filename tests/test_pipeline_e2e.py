@@ -146,3 +146,16 @@ def test_t2v_no_checkpoints_fallbacks(tmp_path, monkeypatch):
     MagiPipeline(tiny_config_json(tmp_path)).run_text_to_video("a red cube", out)
     assert _check_video(out) == 16
     video_process._vae_cache.clear()
+
+
+def test_comfyui_magi_process_end_to_end(pipeline_env, tmp_path):
+    """MagiProcess.process — the full in-process pipeline with the node's
+    JSON config overrides (previously only the node protocol was tested)."""
+    from magi_tpu.comfyui import NODE_CLASS_MAPPINGS
+
+    node = NODE_CLASS_MAPPINGS["MagiProcess"]()
+    (out,) = node.process(
+        "a cat", tiny_config_json(tmp_path), "t2v", seed=5, video_size_h=64,
+        video_size_w=64, num_frames=16, num_steps=4, fps=8,
+    )
+    assert _check_video(out) == 16

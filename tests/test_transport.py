@@ -157,3 +157,24 @@ def test_jit_cache_keyed_by_content():
     c = tiny_config()
     c.runtime_config = dataclasses.replace(c.runtime_config, num_steps=c.runtime_config.num_steps + 8)
     assert _jitted_steps(c) is not _jitted_steps(a)
+
+
+def test_warm_step_variants_preserves_walk():
+    """warm_step_variants pre-compiles every step variant by donating the
+    sampler's own buffers through a throwaway chain, then rebuilds pristine
+    state — the subsequent walk must be IDENTICAL to an unwarmed one."""
+    import jax
+
+    from magi_tpu.models.dit.model import init_dit_params
+    from tests.tiny import tiny_config
+
+    cfg_a = tiny_config()
+    cfg_b = tiny_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_a)
+    ref = [c for _, c in ArdfSampler(cfg_a, params, make_input(cfg_a, 2), jax.random.PRNGKey(7)).walk()]
+    s2 = ArdfSampler(cfg_b, params, make_input(cfg_b, 2), jax.random.PRNGKey(7))
+    assert s2.warm_step_variants() >= 2
+    got = [c for _, c in s2.walk()]
+    assert len(ref) == len(got) == 2
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
