@@ -280,7 +280,14 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
     )
 
     use_pallas = _use_pallas_qmm()
-    qmm_i8 = quantized_matmul_i8 if use_pallas else quantized_matmul_i8_reference
+    # int8 x int8: the XLA-native dot beats the Pallas qmm on v5e (301.8 vs
+    # 269 int8-TOPS at MAGI shapes, scripts/profile_qmm_scan.py round 3) —
+    # XLA fuses the f32 scale epilogue and partitions under SPMD; the
+    # Pallas kernel remains available via MAGI_QMM_IMPL=pallas
+    import os as _os
+
+    _prefer_pallas_i8 = _os.environ.get("MAGI_QMM_IMPL", "xla") == "pallas"
+    qmm_i8 = quantized_matmul_i8 if (use_pallas and _prefer_pallas_i8) else quantized_matmul_i8_reference
     qmm_deq = quantized_matmul if use_pallas else quantized_matmul_reference
 
     def deq_branch(xx):
@@ -307,11 +314,14 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
         if not eligible:
             return deq_branch(x)
 
-        # Pallas qmm is fine INSIDE the manual region (operands are local);
-        # under pp the gathered weight_q rides as bf16 (exact ints) and is
-        # recast for the int8 MXU path.
-        use_pallas_sharded = _use_pallas()
-        qmm_i8_s = quantized_matmul_i8 if use_pallas_sharded else quantized_matmul_i8_reference
+        # Inside the manual region operands are local, so either impl works;
+        # the XLA dot wins on TPU (see above).  Under pp the gathered
+        # weight_q rides as bf16 (exact ints) and is recast to int8.
+        qmm_i8_s = (
+            quantized_matmul_i8
+            if (_use_pallas() and _prefer_pallas_i8)
+            else quantized_matmul_i8_reference
+        )
         wqs = [pp["weight_q"] for pp in plist]
         scs = [pp["weight_scale"] for pp in plist]
 

@@ -37,6 +37,7 @@ def main() -> None:
     n_params = sum(int(np.prod(v.shape)) for v in jax.tree_util.tree_leaves(params))
 
     L = 800
+    rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 32000, (1, L)), jnp.int32)
     mask = jnp.ones((1, L), jnp.int32)
     fwd = jax.jit(lambda p, i, m: t5_encoder_forward(p, cfg, i, m))

@@ -6,9 +6,18 @@ Unlike tests/test_parallel.py::test_24b_architecture_shapes_sharded_walk
 with int8 weights (the bf16 tree would be 46GB) at tiny spatial dims, and
 executes a complete short ARDF walk through the sharded jitted step:
 pp layer-FSDP gathers, head-sharded two-source attention, col/row int8
-shard_maps.  One CPU core -> this takes tens of minutes; it is a
-once-per-round capability proof, not a CI test (those cover the same
-code paths at small dims).
+shard_maps.
+
+KNOWN LIMIT on a 1-core host (this round's bench box): XLA:CPU's
+collective rendezvous has a HARDCODED 40s termination timeout
+(rendezvous.cc; the DebugOptions knobs for it are not plumbed in this
+jaxlib — jit compiler_options are accepted but ignored), and with eight
+virtual devices time-sharing one core, each 24B-layer collective round
+serializes ~8 device-compute slices of several seconds — the first
+pp-gather psum blows the 40s budget and the process aborts.  On any
+multi-core host this walk completes; on this box the same code paths are
+proven by (a) the 48-layer ratio-scaled sharded-walk test and (b) the
+REAL-chip single-device 24B walk (scripts/bench_24b.py).
 
 Usage:  python scripts/walk_24b_virtual.py   (prints one JSON line)
 """
@@ -21,22 +30,34 @@ import time
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    flags += " --xla_force_host_platform_device_count=8"
-# 8 virtual devices time-share ONE core at 24B scale: a collective
-# participant can easily be >40s late to the rendezvous (the default
-# terminate timeout kills the process) — raise all three knobs
-flags += (
-    " --xla_cpu_collective_call_warn_stuck_seconds=600"
-    " --xla_cpu_collective_call_terminate_timeout_seconds=14400"
-    " --xla_cpu_collective_timeout_seconds=14400"
-)
-os.environ["XLA_FLAGS"] = flags.strip()
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# 8 virtual devices time-share ONE core at 24B scale: a collective
+# participant can be MINUTES late to the rendezvous, and the default 40s
+# terminate timeout kills the process.  The flag isn't registered in this
+# jaxlib's XLA_FLAGS parser, but jit compiler_options reach DebugOptions —
+# patch jax.jit so every program in the walk carries the raised timeouts.
+_orig_jit = jax.jit
+_CPU_COLLECTIVE_OPTS = {
+    "xla_cpu_collective_call_warn_stuck_seconds": "600",
+    "xla_cpu_collective_call_terminate_timeout_seconds": "14400",
+}
+
+
+def _patched_jit(*a, **kw):
+    opts = dict(_CPU_COLLECTIVE_OPTS)
+    opts.update(kw.get("compiler_options") or {})
+    kw["compiler_options"] = opts
+    return _orig_jit(*a, **kw)
+
+
+jax.jit = _patched_jit
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
