@@ -162,6 +162,27 @@ def main() -> None:
         n_emitted = sum(1 for _ in sampler2.walk())
         np.asarray(sampler2.xs.ravel()[:1])
         fps_fast = n_emitted * rc.chunk_width * up / (time.perf_counter() - t0)
+        del sampler2
+
+    # --- quantized variant (w8a8, XLA int8 dots): the reference's fp8
+    # engine analog; 1.18x over bf16 end-to-end since the XLA-dot switch
+    fps_fast_i8 = None
+    if fast and os.environ.get("MAGI_BENCH_INT8", "1") == "1":
+        from magi_tpu.ops.quant import quantize_params_int8
+
+        qp = quantize_params_int8(params)
+        del params  # bf16 tree freed before the int8 walk allocates state
+        cfg_i8 = _flagship_config()  # separate jit-cache entry
+        cfg_i8.runtime_config.num_steps, cfg_i8.runtime_config.window_size = 8, 2
+        inp3 = _build(cfg_i8, chunk_num, 8, 2)
+        s3 = ArdfSampler(cfg_i8, qp, inp3, jax.random.PRNGKey(9))
+        s3.warm_step_variants()
+        np.asarray(s3.xs.ravel()[:1])
+        t0 = time.perf_counter()
+        n_emitted = sum(1 for _ in s3.walk())
+        np.asarray(s3.xs.ravel()[:1])
+        fps_fast_i8 = n_emitted * cfg_i8.runtime_config.chunk_width * up / (time.perf_counter() - t0)
+        del s3
 
     vs_baseline = (fps_full / ref_fps_full) if on_tpu else 1.0
     result = {
@@ -178,6 +199,8 @@ def main() -> None:
     }
     if fps_fast is not None:
         result["fast_schedule_fps"] = round(fps_fast, 4)
+    if fps_fast_i8 is not None:
+        result["fast_schedule_int8_fps"] = round(fps_fast_i8, 4)
     print(json.dumps(result))
     print(
         json.dumps(

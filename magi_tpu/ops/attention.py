@@ -265,23 +265,65 @@ def segmented_attention(
     return out.reshape(total_q, hq, hd)
 
 
-def _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, *, rot: int, ln_eps: float):
-    """Fused q-side fp32 QK-layernorm (+ optional GPT-NeoX rotary when
-    sin/cos refs are given) — q arrives RAW from the projection; the
-    normed/roped tile is staged once into q_scr for the kv stream loop."""
-    qf = q_ref[0, 0].astype(jnp.float32)  # [q_per_kv, block_q, hd]
-    mean = jnp.mean(qf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(qf - mean), axis=-1, keepdims=True)
-    qn = (qf - mean) * lax.rsqrt(var + ln_eps)
-    qn = qn * qw_ref[0][None, None, :] + qb_ref[0][None, None, :]
-    if sin_ref is not None:
-        sin = sin_ref[0][None]  # [1, block_q, rot] f32
-        cos = cos_ref[0][None]
-        x1 = qn[..., :rot]
-        x2 = qn[..., rot : 2 * rot]
-        tail = qn[..., 2 * rot :]
-        qn = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1)
-    q_scr[...] = qn.reshape(q_scr.shape).astype(q_scr.dtype)
+def _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, *, q_per_kv: int,
+                rot: int, ln_eps: float, fused_norm: bool):
+    """Stage the GQA group's q heads from the TOKEN-MAJOR input block
+    `q_ref` [1, block_q, q_per_kv*hd] into `q_scr` [q_per_kv*block_q, hd]
+    (group-major rows, the matmul layout), optionally applying the fused
+    fp32 QK-layernorm (+ GPT-NeoX rotary when sin/cos refs are given —
+    q arrives RAW from the projection in that case).
+
+    Token-major input means the host-side q never leaves the projection's
+    [S, hq*hd] layout (a free reshape + fusable pad): the
+    [S,hq,hd]<->[n_seg,hk,q_per_kv,seg,hd] relayout copies XLA emitted at
+    the attention boundary (~4-5% of a denoise step, docs/perf_notes.md)
+    are replaced by q_per_kv static 128-aligned lane-slice copies here —
+    VMEM-local, no rank-3 transpose (which Mosaic lowers poorly)."""
+    block_q = q_ref.shape[1]
+    hd = q_ref.shape[2] // q_per_kv
+    if fused_norm:
+        w = qw_ref[0][None, :]  # [1, hd] f32
+        b = qb_ref[0][None, :]
+        sin = sin_ref[0] if sin_ref is not None else None  # [block_q, rot] f32
+        cos = cos_ref[0] if cos_ref is not None else None
+    for j in range(q_per_kv):
+        qj = q_ref[0][:, j * hd : (j + 1) * hd]  # [block_q, hd]
+        if fused_norm:
+            qf = qj.astype(jnp.float32)
+            mean = jnp.mean(qf, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(qf - mean), axis=-1, keepdims=True)
+            qn = (qf - mean) * lax.rsqrt(var + ln_eps)
+            qn = qn * w + b
+            if sin is not None:
+                x1 = qn[:, :rot]
+                x2 = qn[:, rot : 2 * rot]
+                tail = qn[:, 2 * rot :]
+                qn = jnp.concatenate(
+                    [x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1
+                )
+            qj = qn
+        q_scr[j * block_q : (j + 1) * block_q, :] = qj.astype(q_scr.dtype)
+
+
+def _o_epilogue(o_ref, acc_scr, l_scr, *, q_per_kv: int):
+    """Normalize the deferred-softmax accumulator and store it back in the
+    TOKEN-MAJOR output layout [1, block_q, q_per_kv*hd] (the inverse of
+    `_q_prologue`'s staging) — the wrapper's output is then already
+    [S, hq, hd] as a free reshape, no relayout."""
+    rows, head_dim = acc_scr.shape
+    block_q = o_ref.shape[1]
+    l = l_scr[...]
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    l_inv = (
+        l_inv[:, :head_dim]
+        if head_dim < NUM_LANES
+        else jnp.tile(l_inv, (1, head_dim // NUM_LANES))
+    )
+    o = (acc_scr[...] * l_inv).astype(o_ref.dtype)  # [rows, hd] group-major
+    for j in range(q_per_kv):
+        o_ref[0, :, j * head_dim : (j + 1) * head_dim] = o[
+            j * block_q : (j + 1) * block_q, :
+        ]
 
 
 def _seg_attn_kernel_v2(
@@ -289,7 +331,7 @@ def _seg_attn_kernel_v2(
     kv_start_ref,
     kv_end_ref,
     # inputs
-    q_ref,  # [1, 1, q_per_kv, block_q, hd] VMEM — the whole GQA group
+    q_ref,  # [1, block_q, q_per_kv*hd] VMEM — the GQA group, TOKEN-MAJOR
     k_hbm,  # [hk, kv_pad, hd] ANY/HBM
     v_hbm,  # [hk, kv_pad, hd] ANY/HBM
     # fused-prologue inputs + outputs + scratch (layout depends on fused mode)
@@ -321,8 +363,8 @@ def _seg_attn_kernel_v2(
         qw_ref, qb_ref, o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr, q_scr = rest
         sin_ref = cos_ref = None
     else:
-        o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr = rest
-        q_scr = None
+        o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr, q_scr = rest
+        qw_ref = qb_ref = sin_ref = cos_ref = None
 
     seg = pl.program_id(0)
     kv_head = pl.program_id(1)
@@ -336,9 +378,9 @@ def _seg_attn_kernel_v2(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    if fused_norm:
-        _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
-                    rot=fused_rot, ln_eps=ln_eps)
+    _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
+                fused_norm=fused_norm)
 
     def dma(slot, tile):
         off = pl.multiple_of(tile * block_k, block_k)
@@ -354,10 +396,7 @@ def _seg_attn_kernel_v2(
 
         def tile_compute(i, slot, masked: bool):
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
-            if q_scr is not None:
-                q = q_scr[...]
-            else:
-                q = q_ref[0, 0].reshape(rows, head_dim)
+            q = q_scr[...]
             k = k_buf[slot]
             s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s *= sm_scale * LOG2E  # exp2-domain softmax
@@ -415,11 +454,7 @@ def _seg_attn_kernel_v2(
 
         lax.fori_loop(lo, hi, body, (), unroll=False)
 
-    rows, head_dim = acc_scr.shape
-    l = l_scr[...]
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    l_inv = l_inv[:, :head_dim] if head_dim < NUM_LANES else jnp.tile(l_inv, (1, head_dim // NUM_LANES))
-    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape[2:])
+    _o_epilogue(o_ref, acc_scr, l_scr, q_per_kv=q_per_kv)
 
 
 def segmented_attention_v2(
@@ -463,11 +498,13 @@ def segmented_attention_v2(
     seg_pad = round_up(seg_len, block_q)
     kv_pad = round_up(kv_len, block_k)
 
-    q_r = q.reshape(n_seg, seg_len, hq, hd)
+    # TOKEN-MAJOR q: stays in the projection's [S, hq*hd] layout (free
+    # reshape + fusable pad); the kernel stages the GQA group into matmul
+    # rows via 128-aligned lane slices (see _q_prologue).  GQA groups must
+    # be contiguous in hq (guaranteed by the load-time TP8 fold).
+    q_r = q.reshape(n_seg, seg_len, hq * hd)
     if seg_pad != seg_len:
-        q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0), (0, 0)))
-    # [n_seg, hk, q_per_kv, seg_pad, hd]: GQA groups are contiguous in hq
-    q_r = q_r.transpose(0, 2, 1, 3).reshape(n_seg, hk, q_per_kv, seg_pad, hd)
+        q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0)))
     k_r = k.transpose(1, 0, 2)
     v_r = v.transpose(1, 0, 2)
     if kv_pad != kv_len:
@@ -479,7 +516,7 @@ def segmented_attention_v2(
     rows = q_per_kv * block_q
 
     in_specs = [
-        pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
+        pl.BlockSpec((1, block_q, q_per_kv * hd), lambda s, g, qt, *_: (s, qt, g)),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
@@ -516,7 +553,7 @@ def segmented_attention_v2(
                 in_specs.append(
                     pl.BlockSpec((1, block_q, rot), lambda s, g, qt, *_: (s, qt, 0))
                 )
-        scratch_shapes.append(pltpu.VMEM((rows, hd), q.dtype))
+    scratch_shapes.append(pltpu.VMEM((rows, hd), q.dtype))
 
     kernel = functools.partial(
         _seg_attn_kernel_v2, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv,
@@ -526,20 +563,20 @@ def segmented_attention_v2(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
+        out_specs=pl.BlockSpec((1, block_q, q_per_kv * hd), lambda s, g, qt, *_: (s, qt, g)),
         scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_seg, hk, q_per_kv, seg_pad, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_seg, seg_pad, hq * hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(kv_start.astype(jnp.int32), kv_end.astype(jnp.int32), *operands)
 
-    out = out.reshape(n_seg, hq, seg_pad, hd).transpose(0, 2, 1, 3)
+    out = out.reshape(n_seg, seg_pad, hq, hd)
     if seg_pad != seg_len:
         out = out[:, :seg_len]
     return out.reshape(total_q, hq, hd)
@@ -660,7 +697,7 @@ def _seg_attn_kernel_two_source(
     r2_start_ref,
     r2_end_ref,
     # inputs
-    q_ref,  # [1, 1, q_per_kv, block_q, hd] VMEM — the whole GQA group
+    q_ref,  # [1, block_q, q_per_kv*hd] VMEM — the GQA group, TOKEN-MAJOR
     kv1_hbm,  # [2, hk, kv1_pad, hd] ANY (source 1: KV cache)
     kv2_hbm,  # [2, hk, kv2_pad, hd] ANY (source 2: current kv)
     # fused-prologue inputs + outputs + scratch (layout depends on fused_rot)
@@ -692,8 +729,8 @@ def _seg_attn_kernel_two_source(
         (qw_ref, qb_ref, sin_ref, cos_ref,
          o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr, q_scr) = rest
     else:
-        o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr = rest
-        q_scr = None
+        o_ref, k_buf, v_buf, sems, m_scr, l_scr, acc_scr, q_scr = rest
+        qw_ref = qb_ref = sin_ref = cos_ref = None
 
     seg = pl.program_id(0)
     kv_head = pl.program_id(1)
@@ -702,9 +739,9 @@ def _seg_attn_kernel_two_source(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    if fused_rot:
-        _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
-                    rot=fused_rot, ln_eps=ln_eps)
+    _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
+                fused_norm=bool(fused_rot))
 
     def phase(src_hbm, start, end):
         lo = start // block_k
@@ -719,10 +756,7 @@ def _seg_attn_kernel_two_source(
 
         def tile_compute(i, slot, masked: bool):
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
-            if q_scr is not None:
-                q = q_scr[...]
-            else:
-                q = q_ref[0, 0].reshape(rows, head_dim)
+            q = q_scr[...]
             k = k_buf[slot]
             s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             s *= sm_scale * LOG2E  # exp2-domain softmax
@@ -787,11 +821,7 @@ def _seg_attn_kernel_two_source(
     phase(kv1_hbm, r1_start_ref[seg], r1_end_ref[seg])
     phase(kv2_hbm, r2_start_ref[seg], r2_end_ref[seg])
 
-    head_dim = acc_scr.shape[-1]
-    l = l_scr[...]
-    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    l_inv = l_inv[:, :head_dim] if head_dim < NUM_LANES else jnp.tile(l_inv, (1, head_dim // NUM_LANES))
-    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype).reshape(o_ref.shape[2:])
+    _o_epilogue(o_ref, acc_scr, l_scr, q_per_kv=q_per_kv)
 
 
 def segmented_attention_two_source(
@@ -832,11 +862,11 @@ def segmented_attention_two_source(
     block_q, block_k = _fit_group_blocks(q_per_kv, block_q, block_k)
     seg_pad = round_up(seg_len, block_q)
 
-    q_r = q.reshape(n_seg, seg_len, hq, hd)
+    # TOKEN-MAJOR q (see segmented_attention_v2): free reshape + fusable
+    # pad instead of the [S,hq,hd]->[n_seg,hk,q_per_kv,seg,hd] relayout.
+    q_r = q.reshape(n_seg, seg_len, hq * hd)
     if seg_pad != seg_len:
-        q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0), (0, 0)))
-    # [n_seg, hk, q_per_kv, seg_pad, hd]: GQA groups are contiguous in hq
-    q_r = q_r.transpose(0, 2, 1, 3).reshape(n_seg, hk, q_per_kv, seg_pad, hd)
+        q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0)))
 
     def prep(kv, n):
         # inputs arrive in kernel layout already (the KV cache is STORED as
@@ -855,7 +885,7 @@ def segmented_attention_two_source(
     rows = q_per_kv * block_q
 
     in_specs = [
-        pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
+        pl.BlockSpec((1, block_q, q_per_kv * hd), lambda s, g, qt, *_: (s, qt, g)),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
@@ -892,7 +922,7 @@ def segmented_attention_two_source(
             pl.BlockSpec((1, block_q, rot), lambda s, g, qt, *_: (s, qt, 0)),
             pl.BlockSpec((1, block_q, rot), lambda s, g, qt, *_: (s, qt, 0)),
         ]
-        scratch_shapes.append(pltpu.VMEM((rows, hd), q.dtype))
+    scratch_shapes.append(pltpu.VMEM((rows, hd), q.dtype))
 
     kernel = functools.partial(
         _seg_attn_kernel_two_source, sm_scale=sm_scale, block_k=block_k,
@@ -902,13 +932,13 @@ def segmented_attention_two_source(
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, q_per_kv, block_q, hd), lambda s, g, qt, *_: (s, g, 0, qt, 0)),
+        out_specs=pl.BlockSpec((1, block_q, q_per_kv * hd), lambda s, g, qt, *_: (s, qt, g)),
         scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_seg, hk, q_per_kv, seg_pad, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_seg, seg_pad, hq * hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
@@ -918,7 +948,7 @@ def segmented_attention_two_source(
         r2_start.astype(jnp.int32), r2_end.astype(jnp.int32),
         *operands,
     )
-    out = out.reshape(n_seg, hq, seg_pad, hd).transpose(0, 2, 1, 3)
+    out = out.reshape(n_seg, seg_pad, hq, hd)
     if seg_pad != seg_len:
         out = out[:, :seg_len]
     return out.reshape(total_q, hq, hd)

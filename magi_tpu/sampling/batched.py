@@ -153,7 +153,36 @@ class DpBatchedSampler(ArdfSampler):
     every per-request array carries a leading batch axis sharded `P('dp')`.
 
     `walk()` yields `(chunk_idx, latents[R, C, <=cw, H, W])` — one decode
-    batch per finished chunk position, covering all R requests."""
+    batch per finished chunk position, covering all R requests.
+
+    Requests must share schedule + latent shape (lockstep SPMD walk).  A
+    serving layer that mixes shapes should bucket requests by
+    (latent_size, num_steps, chunk_num, prefix length) and run one
+    DpBatchedSampler per bucket — see `check_lockstep`, which reports the
+    first mismatch so a scheduler can route on it."""
+
+    @staticmethod
+    def check_lockstep(base: InferenceInput, inp: InferenceInput) -> str | None:
+        """Return a human-readable mismatch description, or None if `inp`
+        can join a batch led by `base` (the bucketing key for servers)."""
+        checks = [
+            ("latent_size", base.latent_size, inp.latent_size),
+            ("num_steps", base.num_steps, inp.num_steps),
+            ("chunk_num", base.chunk_num, inp.chunk_num),
+            ("prev_chunks_scale", base.prev_chunks_scale, inp.prev_chunks_scale),
+            (
+                "prefix length",
+                0 if base.prefix_video is None else base.prefix_video.shape[1],
+                0 if inp.prefix_video is None else inp.prefix_video.shape[1],
+            ),
+            # the null caption slab is model-derived (one empty-prompt T5
+            # embed per model) — the batch shares the base request's copy
+            ("null_len", base.null_len, inp.null_len),
+        ]
+        for name, a, b in checks:
+            if a != b:
+                return f"{name} differs ({a} vs {b})"
+        return None
 
     def __init__(
         self,
@@ -164,17 +193,15 @@ class DpBatchedSampler(ArdfSampler):
     ):
         assert len(inps) >= 1 and len(inps) == len(keys)
         base = inps[0]
-        for inp in inps[1:]:
-            assert inp.latent_size == base.latent_size, "dp batch: latent sizes must match"
-            assert inp.num_steps == base.num_steps, "dp batch: num_steps must match"
-            assert inp.chunk_num == base.chunk_num, "dp batch: chunk_num must match"
-            assert inp.prev_chunks_scale == base.prev_chunks_scale
-            pa = 0 if base.prefix_video is None else base.prefix_video.shape[1]
-            pb = 0 if inp.prefix_video is None else inp.prefix_video.shape[1]
-            assert pa == pb, "dp batch: prefix lengths must match (lockstep schedule)"
-            # the null caption slab is model-derived (one empty-prompt T5
-            # embed per model) — the batch shares the base request's copy
-            assert inp.null_len == base.null_len, "dp batch: null_len must match"
+        for i, inp in enumerate(inps[1:], start=1):
+            why = self.check_lockstep(base, inp)
+            if why is not None:
+                raise ValueError(
+                    f"dp batch requires lockstep requests, but request {i} "
+                    f"vs 0: {why}.  Bucket mixed-shape requests by "
+                    "(latent_size, num_steps, chunk_num, prefix length) and "
+                    "run one DpBatchedSampler per bucket."
+                )
 
         super().__init__(config, params, base, keys[0])
         self.R = R = len(inps)

@@ -117,7 +117,7 @@ def test_batched_on_dp_cp_tp_mesh(eight_devices):
 def test_batch_shape_validation():
     cfg = tiny_config()
     inps = [make_input(cfg, 2, key=0), make_input(cfg, 3, key=1)]
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="differs"):
         DpBatchedSampler(
             cfg, init_dit_params(jax.random.PRNGKey(0), cfg), inps,
             [jax.random.PRNGKey(0), jax.random.PRNGKey(1)],
