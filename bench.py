@@ -184,6 +184,27 @@ def main() -> None:
         fps_fast_i8 = n_emitted * cfg_i8.runtime_config.chunk_width * up / (time.perf_counter() - t0)
         del s3
 
+    # --- int8 ATTENTION on top of int8 linears (beyond parity: the
+    # reference keeps attention bf16; MAGI_ATTN_INT8 runs both attention
+    # matmuls on the int8 MXU — ops/attention_q8)
+    fps_fast_i8a = None
+    if fast and fps_fast_i8 is not None and os.environ.get("MAGI_BENCH_ATTN_INT8", "1") == "1":
+        os.environ["MAGI_ATTN_INT8"] = "1"
+        try:
+            cfg_a8 = _flagship_config()
+            cfg_a8.runtime_config.num_steps, cfg_a8.runtime_config.window_size = 8, 2
+            inp4 = _build(cfg_a8, chunk_num, 8, 2)
+            s4 = ArdfSampler(cfg_a8, qp, inp4, jax.random.PRNGKey(9))
+            s4.warm_step_variants()
+            np.asarray(s4.xs.ravel()[:1])
+            t0 = time.perf_counter()
+            n_emitted = sum(1 for _ in s4.walk())
+            np.asarray(s4.xs.ravel()[:1])
+            fps_fast_i8a = n_emitted * cfg_a8.runtime_config.chunk_width * up / (time.perf_counter() - t0)
+            del s4
+        finally:
+            os.environ["MAGI_ATTN_INT8"] = "0"
+
     vs_baseline = (fps_full / ref_fps_full) if on_tpu else 1.0
     result = {
         "metric": (
@@ -201,6 +222,8 @@ def main() -> None:
         result["fast_schedule_fps"] = round(fps_fast, 4)
     if fps_fast_i8 is not None:
         result["fast_schedule_int8_fps"] = round(fps_fast_i8, 4)
+    if fps_fast_i8a is not None:
+        result["fast_schedule_int8_attn_fps"] = round(fps_fast_i8a, 4)
     print(json.dumps(result))
     print(
         json.dumps(

@@ -24,6 +24,7 @@ Design (TPU-first, not a port):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -51,6 +52,16 @@ from magi_tpu.ops.attention import (
 
 def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def _attn_int8() -> bool:
+    """BEYOND-PARITY option (`MAGI_ATTN_INT8=1`): run both self-attention
+    matmuls on the int8 MXU (ops/attention_q8) — kv quantized per-token,
+    q per-row in the kernel prologue, softmax p requantized per-row with
+    the v scale folded in.  The reference keeps attention bf16
+    (dit_module.py:431-487); this trades ~1% attention-output error for
+    ~2x MXU rate on the dominant kernel.  Single-chip Pallas path only."""
+    return os.environ.get("MAGI_ATTN_INT8", "0") == "1"
 
 
 def _use_pallas_qmm() -> bool:
@@ -153,6 +164,21 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
     mesh = mesh_lib.get_mesh()
     n_shards = mesh_lib.head_shards(mesh)
     if mesh_lib.mesh_is_trivial(mesh) or n_shards == 1:
+        if _use_pallas() and _attn_int8():
+            # int8 attention (see _attn_int8): kv quantized per-token here
+            # (one extra kv read+write; the kernel then reads each attended
+            # range at HALF the bytes and runs both matmuls on the int8 MXU)
+            from magi_tpu.ops.attention_q8 import (
+                quantize_kv_per_token,
+                segmented_attention_two_source_q8,
+            )
+
+            kv1_8, sc1 = quantize_kv_per_token(cache_l)
+            kv2_8, sc2 = quantize_kv_per_token(kv_cur)
+            return segmented_attention_two_source_q8(
+                q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e,
+                seg_len=seg_len, block_q=512, block_k=1024, q_prologue=q_pro,
+            )
         return impl(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, seg_len=seg_len)
 
     heads = mesh_lib.HEAD_AXES
@@ -414,8 +440,36 @@ def _merge_edge(blk: dict, edge: dict) -> dict:
 def _bias_modulate_add(x, residual, gate, post_norm_params, eps, zero_centered, n_seg):
     """fp32(gate[seg] * x) -> post_norm -> +residual (ref: dit_module.py:292-307).
     The reference's Triton range_mod gather (N4) reduces to a per-segment
-    broadcast because segments are equal-length — XLA fuses it for free."""
+    broadcast because segments are equal-length.
+
+    On TPU this runs as ONE Pallas pass (ops/fused_norm.py): expressed in
+    plain JAX, XLA splits the chain into a stats fusion and an apply fusion
+    with the gated f32 [S, D] activation materialized in HBM between them
+    (~12% of a denoise step across the call sites, docs/perf_notes.md) —
+    the fused Triton/Apex kernels the reference uses never pay that
+    round-trip.  Under a seq-sharded mesh a seq-manual shard_map slices the
+    per-segment gate by shard (gate_norm_residual_sharded); on a tp-only
+    mesh the unfused XLA chain stays (it row-partitions over tp, which
+    beats a tp-replicated kernel pass)."""
     S, D = x.shape
+    if _use_pallas():
+        from magi_tpu.parallel import mesh as mesh_lib
+        from magi_tpu.ops.fused_norm import gate_norm_residual, gate_norm_residual_sharded
+
+        w = post_norm_params["weight"]
+        b = post_norm_params["bias"]
+        if mesh_lib.model_parallel_trivial():
+            return gate_norm_residual(
+                x, residual, gate, w, b, eps=eps, zero_centered=zero_centered,
+                n_seg=n_seg,
+            )
+        if mesh_lib.seq_shards(mesh_lib.get_mesh()) > 1:
+            out = gate_norm_residual_sharded(
+                x, residual, gate, w, b, eps=eps, zero_centered=zero_centered,
+                n_seg=n_seg,
+            )
+            if out is not None:
+                return out
     xf = x.astype(jnp.float32).reshape(n_seg, S // n_seg, D)
     xf = xf * gate.astype(jnp.float32)[:, None, :]
     xf = xf.reshape(S, D)

@@ -114,6 +114,10 @@ def _seg_attn_kernel(
         repeats, rem = divmod(block_k, NUM_LANES)
         assert rem == 0, f"block_k must be a multiple of {NUM_LANES}"
         p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+        # a FULLY-masked tile has m_next == MASK_VALUE, making exp2(s-m)=1
+        # uniform garbage (partial masks underflow to 0 on their own) —
+        # zero p explicitly so empty ranges yield 0, not a uniform average
+        p = jnp.where(valid, p, 0.0)
 
         alpha = jnp.exp2(m_prev - m_next)
         # Deferred normalization (flash-v2): acc stays unnormalized until the
@@ -411,6 +415,11 @@ def _seg_attn_kernel_v2(
             m_next = jnp.maximum(m_prev, m_curr)
             repeats = block_k // NUM_LANES
             p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+            if masked:
+                # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
+                # uniform garbage (partial masks underflow on their own):
+                # zero p so empty / sub-tile ranges contribute nothing
+                p = jnp.where(valid, p, 0.0)
             alpha = jnp.exp2(m_prev - m_next)
             # deferred normalization: acc stays unnormalized until the store
             l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
@@ -771,6 +780,11 @@ def _seg_attn_kernel_two_source(
             m_next = jnp.maximum(m_prev, m_curr)
             repeats = block_k // NUM_LANES
             p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+            if masked:
+                # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
+                # uniform garbage (partial masks underflow on their own):
+                # zero p so empty / sub-tile ranges contribute nothing
+                p = jnp.where(valid, p, 0.0)
             alpha = jnp.exp2(m_prev - m_next)
             # deferred normalization: acc stays unnormalized until the store
             l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from collections import Counter
 from typing import Generator, Optional, Tuple
 
@@ -106,6 +107,9 @@ def _config_key(config: MagiConfig) -> str:
             dataclasses.asdict(config.model_config),
             dataclasses.asdict(config.runtime_config),
             dataclasses.asdict(config.engine_config),
+            # trace-time switches that change the compiled step but live
+            # outside the config dataclasses
+            os.environ.get("MAGI_ATTN_INT8", "0"),
         )
     )
 

@@ -165,3 +165,23 @@ def test_v2_blocks_stay_lane_aligned_at_caption_kv_shapes():
         q, kv, kv, rng_spec, rng_spec,
     )
     assert out.shape == (5400, 24, 128)
+
+
+def test_v2_empty_range_mid_tile(rng):
+    """start == end at a NON-tile-aligned position (y_len==0 cross-attn):
+    must yield 0, not a uniform average.  Regression: a fully-masked tile
+    had m_next == MASK_VALUE so p = exp2(0) = 1 for every position."""
+    from magi_tpu.ops.attention import (
+        segmented_attention_reference,
+        segmented_attention_v2,
+    )
+
+    n_seg, ctn, kv_len = 3, 128, 384
+    q, k, v = make_qkv(rng, n_seg, ctn, kv_len, 4, 2, 64)
+    s = jnp.asarray([0, 200, 256], jnp.int32)
+    e = jnp.asarray([128, 200, 384], jnp.int32)  # seg 1 empty inside tile 1
+    got = segmented_attention_v2(q, k, v, s, e, seg_len=ctn, interpret=True,
+                                 block_q=128, block_k=128)
+    want = segmented_attention_reference(q, k, v, s, e, seg_len=ctn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[ctn : 2 * ctn]), 0.0)

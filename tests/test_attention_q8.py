@@ -1,0 +1,128 @@
+"""Int8 segmented attention (ops/attention_q8) — interpret mode.
+
+The q8 kernel is a beyond-parity option (the reference keeps attention
+bf16, dit_module.py:431-487); tolerances here are int8-quantization
+tolerances, not exact-math ones.  The kernel-vs-dequant-reference check
+isolates the kernel's own approximation (p requantization) from the kv
+quantization error.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magi_tpu.ops.attention import segmented_attention_two_source_reference
+from magi_tpu.ops.attention_q8 import (
+    quantize_kv_per_token,
+    segmented_attention_two_source_q8,
+    segmented_attention_two_source_q8_reference,
+)
+
+
+def run(rng, n_seg, seg_len, kv1_len, kv2_len, hq, hk, hd, r1, r2,
+        block=128, q_prologue=None, q=None):
+    S = n_seg * seg_len
+    if q is None:
+        q = jnp.asarray(rng.standard_normal((S, hq, hd)), jnp.bfloat16)
+    kv1f = jnp.asarray(rng.standard_normal((2, hk, kv1_len, hd)), jnp.bfloat16)
+    kv2f = jnp.asarray(rng.standard_normal((2, hk, kv2_len, hd)), jnp.bfloat16)
+    kv1, sc1 = quantize_kv_per_token(kv1f)
+    kv2, sc2 = quantize_kv_per_token(kv2f)
+    r1s = jnp.asarray([a for a, _ in r1], jnp.int32)
+    r1e = jnp.asarray([b for _, b in r1], jnp.int32)
+    r2s = jnp.asarray([a for a, _ in r2], jnp.int32)
+    r2e = jnp.asarray([b for _, b in r2], jnp.int32)
+    got = segmented_attention_two_source_q8(
+        q, kv1, sc1, kv2, sc2, r1s, r1e, r2s, r2e, seg_len=seg_len,
+        interpret=True, block_q=block, block_k=block, q_prologue=q_prologue,
+    )
+    want = segmented_attention_two_source_q8_reference(
+        q if q_prologue is None else _apply_prologue(q, q_prologue),
+        kv1, sc1, kv2, sc2, r1s, r1e, r2s, r2e, seg_len=seg_len,
+    )
+    full = segmented_attention_two_source_reference(
+        q if q_prologue is None else _apply_prologue(q, q_prologue),
+        kv1f, kv2f, r1s, r1e, r2s, r2e, seg_len=seg_len,
+    )
+    return (np.asarray(got, np.float32), np.asarray(want, np.float32),
+            np.asarray(full, np.float32))
+
+
+def _apply_prologue(q, pro):
+    """fp32 q-layernorm (+rotary) matching the kernel's fused prologue."""
+    w, b, sin, cos, eps = pro
+    qf = q.astype(jnp.float32)
+    mean = jnp.mean(qf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(qf - mean), axis=-1, keepdims=True)
+    qn = (qf - mean) * jnp.sqrt(1.0 / (var + eps))
+    qn = qn * w[None, None, :] + b[None, None, :]
+    if sin is not None:
+        rot = sin.shape[-1]
+        s_, c_ = sin[:, None, :], cos[:, None, :]
+        x1, x2, tail = qn[..., :rot], qn[..., rot:2 * rot], qn[..., 2 * rot:]
+        qn = jnp.concatenate([x1 * c_ - x2 * s_, x1 * s_ + x2 * c_, tail], -1)
+    return qn.astype(q.dtype)
+
+
+def check(got, want, full, tol=0.04):
+    # kernel vs dequant reference: p-requant error only
+    rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    assert rel < tol, f"kernel-vs-dequant mean rel err {rel}"
+    # vs full precision: + kv quant error (random data is worst case)
+    rel_full = np.abs(got - full).mean() / (np.abs(full).mean() + 1e-9)
+    assert rel_full < 2 * tol, f"vs-full mean rel err {rel_full}"
+
+
+def test_basic_two_source(rng):
+    got, want, full = run(
+        rng, 3, 128, 256, 384, 4, 2, 128,
+        r1=[(0, 256), (0, 200), (100, 100)],   # incl. empty cache range
+        r2=[(0, 128), (0, 256), (0, 384)],
+    )
+    check(got, want, full)
+
+
+def test_empty_ranges_mid_tile(rng):
+    # fully-masked-tile regression (p must be zeroed, not uniform)
+    got, want, full = run(
+        rng, 2, 128, 256, 256, 4, 2, 128,
+        r1=[(200, 200), (0, 256)], r2=[(0, 256), (70, 70)],
+    )
+    check(got, want, full)
+
+
+def test_gqa_fold(rng):
+    got, want, full = run(
+        rng, 2, 128, 256, 256, 8, 2, 128,
+        r1=[(0, 256), (64, 192)], r2=[(0, 128), (0, 256)],
+    )
+    check(got, want, full)
+
+
+def test_fused_q_prologue(rng):
+    hd, rot, S = 128, 32, 2 * 128
+    w = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(hd) * 0.05, jnp.float32)
+    ang = jnp.asarray(rng.standard_normal((S, rot)), jnp.float32)
+    pro = (w, b, jnp.sin(ang), jnp.cos(ang), 1e-6)
+    got, want, full = run(
+        rng, 2, 128, 256, 256, 4, 2, hd,
+        r1=[(0, 256), (0, 128)], r2=[(0, 128), (0, 256)],
+        q_prologue=pro,
+    )
+    check(got, want, full)
+
+
+def test_quantize_kv_roundtrip(rng):
+    kv = jnp.asarray(rng.standard_normal((2, 3, 64, 32)) * 5.0, jnp.bfloat16)
+    q8, sc = quantize_kv_per_token(kv)
+    dq = np.asarray(q8, np.float32) * np.asarray(sc, np.float32)[..., None]
+    err = np.abs(dq - np.asarray(kv, np.float32)).max(axis=-1)
+    # per-token max error bounded by scale/2 (+ bf16 rounding slack)
+    assert (err <= np.asarray(sc, np.float32) * 0.51 + 1e-3).all()
+
+
+def test_zero_rows_quantize(rng):
+    kv = jnp.zeros((2, 2, 32, 32), jnp.bfloat16)
+    q8, sc = quantize_kv_per_token(kv)
+    assert np.asarray(q8).max() == 0 and np.isfinite(np.asarray(sc)).all()

@@ -119,3 +119,10 @@ def test_kv_norm_rope_pack_matches_reference(rng):
         want = kv_norm_rope_pack_reference(k, v, kw, kb, sin, cos, eps=1e-6, rep=rep)
         assert got.shape == (2, hk * rep, S, hd)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_empty_ranges_mid_tile(rng):
+    # empty ranges at non-tile-aligned positions must contribute nothing
+    # (fully-masked-tile p=1 regression, see test_attention.py)
+    check(rng, 2, 128, 256, 256, 4, 2, 64,
+          [(200, 200), (0, 256)], [(0, 256), (70, 70)])
