@@ -164,26 +164,84 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
     mesh = mesh_lib.get_mesh()
     n_shards = mesh_lib.head_shards(mesh)
     if mesh_lib.mesh_is_trivial(mesh) or n_shards == 1:
-        if _use_pallas() and _attn_int8():
+        if _attn_int8():
             # int8 attention (see _attn_int8): kv quantized per-token here
             # (one extra kv read+write; the kernel then reads each attended
-            # range at HALF the bytes and runs both matmuls on the int8 MXU)
+            # range at HALF the bytes and runs both matmuls on the int8 MXU).
+            # Off-TPU the dequant reference path carries the same kv
+            # quantization so CPU walks exercise the integration end-to-end.
             from magi_tpu.ops.attention_q8 import (
                 quantize_kv_per_token,
                 segmented_attention_two_source_q8,
+                segmented_attention_two_source_q8_reference,
             )
 
             kv1_8, sc1 = quantize_kv_per_token(cache_l)
             kv2_8, sc2 = quantize_kv_per_token(kv_cur)
-            return segmented_attention_two_source_q8(
-                q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e,
-                seg_len=seg_len, block_q=512, block_k=1024, q_prologue=q_pro,
+            if _use_pallas():
+                return segmented_attention_two_source_q8(
+                    q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e,
+                    seg_len=seg_len, block_q=512, block_k=1024, q_prologue=q_pro,
+                )
+            return segmented_attention_two_source_q8_reference(
+                q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e, seg_len=seg_len,
             )
         return impl(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, seg_len=seg_len)
 
     heads = mesh_lib.HEAD_AXES
     qspec = P(None, heads, None)
     kvspec = P(None, heads, None, None)  # [2, hk, len, hd] kernel layout
+    if _attn_int8():
+        # head-sharded int8 attention: quantize before the shard_map (the
+        # per-token amax has no cross-head deps, so XLA partitions it);
+        # per-token scales [2, hk, len] shard on the head axis like kv
+        from magi_tpu.ops.attention_q8 import (
+            quantize_kv_per_token,
+            segmented_attention_two_source_q8,
+            segmented_attention_two_source_q8_reference,
+        )
+
+        kv1_8, sc1 = quantize_kv_per_token(cache_l)
+        kv2_8, sc2 = quantize_kv_per_token(kv_cur)
+        scspec = P(None, heads, None)
+        if q_pro is None:
+            def sharded_q8(qq, c1, s1, c2, s2, a, b, cc, d):
+                f = (segmented_attention_two_source_q8 if _use_pallas()
+                     else segmented_attention_two_source_q8_reference)
+                return f(qq, c1, s1, c2, s2, a, b, cc, d, seg_len=seg_len)
+
+            fn = jax.shard_map(
+                sharded_q8,
+                mesh=mesh_lib.shard_map_mesh(),
+                in_specs=(qspec, kvspec, scspec, kvspec, scspec,
+                          P(), P(), P(), P()),
+                out_specs=qspec,
+                axis_names=set(heads),
+            )
+            return _reshard_heads_to_tokens(
+                fn(q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e)
+            )
+        qw8, qb8, sin8, cos8, ln_eps8 = q_pro
+
+        def sharded_q8_pro(qq, c1, s1, c2, s2, a, b, cc, d, w_, b_, s_, co_):
+            return segmented_attention_two_source_q8(
+                qq, c1, s1, c2, s2, a, b, cc, d, seg_len=seg_len,
+                block_q=512, block_k=1024,
+                q_prologue=(w_, b_, s_, co_, ln_eps8),
+            )
+
+        fn = jax.shard_map(
+            sharded_q8_pro,
+            mesh=mesh_lib.shard_map_mesh(),
+            in_specs=(qspec, kvspec, scspec, kvspec, scspec,
+                      P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=qspec,
+            axis_names=set(heads),
+        )
+        return _reshard_heads_to_tokens(
+            fn(q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e,
+               qw8, qb8, sin8, cos8)
+        )
     if q_pro is None:
         fn = jax.shard_map(
             functools.partial(impl, seg_len=seg_len),

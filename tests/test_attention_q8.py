@@ -126,3 +126,36 @@ def test_zero_rows_quantize(rng):
     kv = jnp.zeros((2, 2, 32, 32), jnp.bfloat16)
     q8, sc = quantize_kv_per_token(kv)
     assert np.asarray(q8).max() == 0 and np.isfinite(np.asarray(sc)).all()
+
+
+def test_attn_int8_walk_lockstep(monkeypatch):
+    """MAGI_ATTN_INT8=1 walk tracks the bf16 walk within int8-attention
+    noise on the tiny model (CPU carries the same kv quantization through
+    the dequant reference path), and keys a separate jit-cache entry."""
+    import jax
+
+    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.sampling import transport
+    from tests.test_transport import collect, make_input
+    from tests.tiny import tiny_config
+
+    cfg = tiny_config()
+    chunks_ref, _ = collect(cfg, make_input(cfg, 2))
+
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+    cfg_q = tiny_config()
+    key_q = transport._config_key(cfg_q)
+    monkeypatch.delenv("MAGI_ATTN_INT8")
+    assert transport._config_key(cfg_q) != key_q  # env participates in key
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+
+    chunks_q8, _ = collect(cfg_q, make_input(cfg_q, 2))
+    assert len(chunks_q8) == len(chunks_ref) == 2
+    for (ia, la), (ib, lb) in zip(chunks_ref, chunks_q8):
+        assert ia == ib
+        a, b = np.asarray(la, np.float32), np.asarray(lb, np.float32)
+        assert np.isfinite(b).all()
+        # int8 kv error accumulates over 8 denoise steps x 2 layers; the
+        # walk must stay close, not bit-equal
+        rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+        assert rel < 0.12, f"chunk {ia} diverged: mean rel {rel}"

@@ -300,3 +300,23 @@ def test_24b_architecture_shapes_sharded_walk(eight_devices):
     assert len(ref) == len(got) == 2
     for r, g in zip(ref, got):
         np.testing.assert_allclose(r, g, atol=4e-4, rtol=4e-4)
+
+
+def test_attn_int8_sharded_walk_matches_single_device(eight_devices, monkeypatch):
+    """MAGI_ATTN_INT8 under a head-sharded (Ulysses) mesh: the sharded int8
+    walk must equal the single-device int8 walk — both run the dequant
+    reference with identical per-token kv quantization, so sharding must be
+    math-preserving (scales shard on the head axis alongside kv).  Tolerance
+    is looser than the bf16 walk's 2e-4: int8 rounding is discontinuous, so
+    the sharded linears' different fp reduction order can flip a rounded
+    level (~scale/2 jumps); a mis-sharded scale tensor would be O(1) off."""
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+    cfg = mesh_cfg()
+    ref = run_walk(cfg, sharded=False, eight_devices=eight_devices)
+    got = run_walk(cfg, sharded=True, eight_devices=eight_devices)
+    assert len(ref) == len(got) == 2
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=5e-3, rtol=5e-3)
+        # and the bulk must be MUCH closer (guards against a systematic
+        # wrong-scale error hiding inside a loose tolerance)
+        assert np.abs(np.asarray(r) - np.asarray(g)).mean() < 2e-4
