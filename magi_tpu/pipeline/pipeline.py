@@ -106,7 +106,7 @@ class MagiPipeline:
 
         try:
             sampler = DpBatchedSampler(self.config, params, inps, keys)
-        except AssertionError as e:
+        except (AssertionError, ValueError) as e:
             # lockstep dp batching needs identical schedules/latent shapes;
             # mixed-shape batches degrade to round-robin interleaving (a
             # serving layer wanting true mixed-shape batching should bucket

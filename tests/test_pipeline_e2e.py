@@ -159,3 +159,27 @@ def test_comfyui_magi_process_end_to_end(pipeline_env, tmp_path):
         video_size_w=64, num_frames=16, num_steps=4, fps=8,
     )
     assert _check_video(out) == 16
+
+
+def test_batch_mixed_shapes_falls_back_to_interleave(pipeline_env, tmp_path, monkeypatch):
+    """run_text_to_video_batch degrades to run_text_to_video_many when the
+    requests cannot walk in lockstep (DpBatchedSampler raises ValueError —
+    regression: the fallback only caught AssertionError, so a mixed-shape
+    batch crashed instead of degrading)."""
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+    from magi_tpu.sampling import batched
+
+    def explode(*a, **k):
+        raise ValueError("dp batch requires lockstep requests (simulated)")
+
+    monkeypatch.setattr(batched.DpBatchedSampler, "__init__", explode)
+    called = {}
+    pipe = MagiPipeline(tiny_config_json(tmp_path))
+
+    def fake_many(prompts, outs):
+        called["args"] = (list(prompts), list(outs))
+
+    monkeypatch.setattr(pipe, "run_text_to_video_many", fake_many)
+    outs = [str(tmp_path / f"fb{i}.mp4") for i in range(2)]
+    pipe.run_text_to_video_batch(["a cat", "a dog"], outs)
+    assert called["args"][0] == ["a cat", "a dog"]
