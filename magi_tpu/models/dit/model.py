@@ -64,6 +64,17 @@ def _attn_int8() -> bool:
     return os.environ.get("MAGI_ATTN_INT8", "0") == "1"
 
 
+def _attn_int8_store() -> bool:
+    """int8 attention + int8-STORED KV cache (the default when
+    MAGI_ATTN_INT8 is on): the cache holds {kv int8, scale f32}, halving
+    cache HBM, and is quantized once at write time instead of every
+    forward.  MAGI_ATTN_INT8_STORE=0 keeps a bf16 cache quantized per
+    forward — mathematically identical (quantization is deterministic on
+    identical values; equality-tested), for A/B and as the host-offload
+    fallback."""
+    return _attn_int8() and os.environ.get("MAGI_ATTN_INT8_STORE", "1") == "1"
+
+
 def _use_pallas_qmm() -> bool:
     """The int8 qmm Pallas kernels are opaque to the SPMD partitioner (a
     sharded operand would replicate the whole call); under a model-parallel
@@ -176,7 +187,10 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
                 segmented_attention_two_source_q8_reference,
             )
 
-            kv1_8, sc1 = quantize_kv_per_token(cache_l)
+            if isinstance(cache_l, dict):  # int8-STORED cache (_attn_int8_store)
+                kv1_8, sc1 = cache_l["kv"], cache_l["scale"]
+            else:
+                kv1_8, sc1 = quantize_kv_per_token(cache_l)
             kv2_8, sc2 = quantize_kv_per_token(kv_cur)
             if _use_pallas():
                 return segmented_attention_two_source_q8(
@@ -201,7 +215,10 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
             segmented_attention_two_source_q8_reference,
         )
 
-        kv1_8, sc1 = quantize_kv_per_token(cache_l)
+        if isinstance(cache_l, dict):  # int8-STORED cache (_attn_int8_store)
+            kv1_8, sc1 = cache_l["kv"], cache_l["scale"]
+        else:
+            kv1_8, sc1 = quantize_kv_per_token(cache_l)
         kv2_8, sc2 = quantize_kv_per_token(kv_cur)
         scspec = P(None, heads, None)
         if q_pro is None:
@@ -617,17 +634,33 @@ def attention_forward(
             # write-all-on-update; the distill ride-along chunk is excluded
             # (ref: dit_module.py:918-929)
             clip = S - ctn if meta.distill_nearly_clean_chunk else S
-            new_cache_l = lax.dynamic_update_slice(
-                cache_l, kv[:, :, :clip].astype(cache_l.dtype), (0, 0, start_tok, 0)
-            )
+            if isinstance(cache_l, dict):
+                # int8-STORED cache: quantize the written slice once here
+                # instead of requantizing the whole buffer every forward
+                from magi_tpu.ops.attention_q8 import quantize_kv_per_token
+
+                kv8_w, sc_w = quantize_kv_per_token(kv[:, :, :clip])
+                new_cache_l = {
+                    "kv": lax.dynamic_update_slice(
+                        cache_l["kv"], kv8_w, (0, 0, start_tok, 0)
+                    ),
+                    "scale": lax.dynamic_update_slice(
+                        cache_l["scale"], sc_w, (0, 0, start_tok)
+                    ),
+                }
+            else:
+                new_cache_l = lax.dynamic_update_slice(
+                    cache_l, kv[:, :, :clip].astype(cache_l.dtype), (0, 0, start_tok, 0)
+                )
         else:
             new_cache_l = cache_l
         r1s = jnp.minimum(gs, start_tok)
         r1e = jnp.minimum(ge, start_tok)
         r2s = jnp.maximum(gs - start_tok, 0)
         r2e = jnp.maximum(ge - start_tok, 0)
+        cache_in = cache_l if isinstance(cache_l, dict) else cache_l.astype(x.dtype)
         core = _attention_cached(
-            q, cache_l.astype(x.dtype), kv, r1s, r1e, r2s, r2e, seg_len=ctn,
+            q, cache_in, kv, r1s, r1e, r2s, r2e, seg_len=ctn,
             q_pro=q_pro,
         )
     else:
@@ -1145,6 +1178,20 @@ def kv_cache_shape(config: MagiConfig, max_tokens: int) -> tuple:
     return (mc.num_layers, 2, mc.num_query_groups * rep, max_tokens, mc.kv_channels)
 
 
-def init_kv_cache(config: MagiConfig, max_tokens: int, dtype=None) -> jnp.ndarray:
+def init_kv_cache(config: MagiConfig, max_tokens: int, dtype=None, int8=None):
+    """KV cache buffer.  In int8-attention mode (see `_attn_int8_store`) the
+    cache is STORED quantized — {'kv': int8 [L,2,G,tok,hd], 'scale': f32
+    [L,2,G,tok]} — halving cache HBM and skipping the per-forward cache
+    requantization (quantization is deterministic, so quantize-at-write
+    equals quantize-every-forward exactly; tested).  Otherwise a plain
+    [L,2,G,tok,hd] array in params_dtype."""
+    shape = kv_cache_shape(config, max_tokens)
+    if int8 is None:
+        int8 = _attn_int8_store()
+    if int8:
+        return {
+            "kv": jnp.zeros(shape, jnp.int8),
+            "scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
     dtype = dtype or config.model_config.params_dtype
-    return jnp.zeros(kv_cache_shape(config, max_tokens), dtype)
+    return jnp.zeros(shape, dtype)

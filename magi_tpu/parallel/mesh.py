@@ -355,4 +355,11 @@ def shard_kv_cache(cache, mesh: Optional[Mesh] = None):
     mesh = mesh or get_mesh()
     if mesh_is_trivial(mesh):
         return cache
-    return jax.device_put(cache, NamedSharding(mesh, kv_cache_spec()))
+    # int8-stored caches are {'kv': [L,2,G,tok,hd], 'scale': [L,2,G,tok]} —
+    # the scale leaf shards like kv minus the head_dim axis
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(*tuple(kv_cache_spec())[: x.ndim]))
+        ),
+        cache,
+    )

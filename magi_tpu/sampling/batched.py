@@ -142,8 +142,12 @@ def _batched_steps(config: MagiConfig):
             jax.jit(cfg1, static_argnames=("n_den", "extra", "use_prefix", "distill_nearly"),
                     donate_argnums=(1, 2)),
             jax.jit(warmup, static_argnames=("n_chunks",), donate_argnums=(1,)),
-            # batched cache [R, L, 2, hk, tok, hd]: token axis is 4
-            jax.jit(lambda c, s: jnp.roll(c, -s, axis=4), donate_argnums=(0,)),
+            # batched cache [R, L, 2, hk, tok, hd]: token axis is 4 (for the
+            # int8-stored scale leaf [R, L, 2, hk, tok] too)
+            jax.jit(
+                lambda c, s: jax.tree.map(lambda x: jnp.roll(x, -s, axis=4), c),
+                donate_argnums=(0,),
+            ),
         )
     return _BATCH_JIT_CACHE[key]
 
@@ -215,8 +219,10 @@ class DpBatchedSampler(ArdfSampler):
         self.xs = jax.vmap(
             lambda k: jax.random.normal(k, base.latent_size, dtype=jnp.float32)
         )(jnp.stack(list(keys)))
-        self.cache = jnp.broadcast_to(self.cache, (R,) + self.cache.shape) + jnp.zeros(
-            (R,) + (1,) * self.cache.ndim, self.cache.dtype
+        self.cache = jax.tree.map(
+            lambda c: jnp.broadcast_to(c, (R,) + c.shape)
+            + jnp.zeros((R,) + (1,) * c.ndim, c.dtype),
+            self.cache,
         )
 
         embs, lens = [], []
@@ -252,9 +258,17 @@ class DpBatchedSampler(ArdfSampler):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             s = NamedSharding(mesh, P(mesh_lib.AXIS_DP))
-            cache_spec = P(mesh_lib.AXIS_DP, *mesh_lib.kv_cache_spec())
             self.xs = jax.device_put(self.xs, s)
-            self.cache = jax.device_put(self.cache, NamedSharding(mesh, cache_spec))
+            self.cache = jax.tree.map(
+                lambda c: jax.device_put(
+                    c,
+                    NamedSharding(
+                        mesh,
+                        P(mesh_lib.AXIS_DP, *tuple(mesh_lib.kv_cache_spec())[: c.ndim - 1]),
+                    ),
+                ),
+                self.cache,
+            )
             self.prefix_buf = jax.device_put(self.prefix_buf, s)
             self._text_embs = jax.device_put(self._text_embs, s)
 

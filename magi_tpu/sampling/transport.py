@@ -136,7 +136,12 @@ def _jitted_steps(config: MagiConfig):
                 static_argnames=("n_chunks",),
                 donate_argnums=(1,),
             ),
-            jax.jit(lambda c, s: jnp.roll(c, -s, axis=3), donate_argnums=(0,)),
+            # token axis is 3 for BOTH cache leaves: [L,2,G,tok,hd] and the
+            # int8-stored cache's scale [L,2,G,tok]
+            jax.jit(
+                lambda c, s: jax.tree.map(lambda x: jnp.roll(x, -s, axis=3), c),
+                donate_argnums=(0,),
+            ),
         )
     return _JIT_CACHE[key]
 
@@ -788,9 +793,14 @@ def _cfg3_step(
             n_den, ctn, HP, WP, 0, u_start, u_end, lens_null[:n_den],
             update=False, use_cache=False,
         )
+        # zero-token cache (works for the int8-stored dict cache too: the
+        # scale leaf [L,2,G,tok] truncates the same token axis)
+        empty_cache = jax.tree.map(
+            lambda c: jnp.zeros(c.shape[:3] + (0,) + c.shape[4:], c.dtype), cache
+        )
         v3, _ = dit_forward(
             params, config, x_chunk[:, -dw:], tvec[-n_den:], y_null[:n_den], jnp.asarray(True),
-            jnp.zeros(cache.shape[:3] + (0,) + cache.shape[4:], cache.dtype), meta3,
+            empty_cache, meta3,
             jnp.zeros(n_den, jnp.int32),
         )
 

@@ -159,3 +159,29 @@ def test_attn_int8_walk_lockstep(monkeypatch):
         # walk must stay close, not bit-equal
         rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
         assert rel < 0.12, f"chunk {ia} diverged: mean rel {rel}"
+
+
+def test_int8_stored_cache_equals_per_forward_quantize(monkeypatch):
+    """The int8-STORED cache ({kv int8, scale f32}, quantized once at write)
+    must walk BIT-IDENTICALLY to the bf16-cache-requantized-per-forward
+    variant (MAGI_ATTN_INT8_STORE=0): quantization is deterministic on
+    identical values, so storage is a pure memory/bandwidth optimization."""
+    from magi_tpu.models.dit.model import init_kv_cache
+    from tests.test_transport import collect, make_input
+    from tests.tiny import tiny_config
+
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+    monkeypatch.setenv("MAGI_ATTN_INT8_STORE", "0")
+    chunks_pf, s_pf = collect(tiny_config(), make_input(tiny_config(), 2))
+    assert not isinstance(s_pf.cache, dict)
+
+    monkeypatch.setenv("MAGI_ATTN_INT8_STORE", "1")
+    chunks_st, s_st = collect(tiny_config(), make_input(tiny_config(), 2))
+    assert isinstance(s_st.cache, dict)
+    assert s_st.cache["kv"].dtype == jnp.int8
+    assert s_st.cache["scale"].dtype == jnp.float32
+    assert s_st.cache["kv"].shape[:-1] == s_st.cache["scale"].shape
+
+    for (ia, la), (ib, lb) in zip(chunks_pf, chunks_st):
+        assert ia == ib
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

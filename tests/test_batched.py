@@ -140,3 +140,24 @@ def test_batched_sliding_kv_offload_roll():
     assert probe.cache_chunks < probe.chunk_num
     del probe
     _compare(tiny_config(**kw), inps, keys)
+
+
+def test_batched_attn_int8_stored_cache(monkeypatch):
+    """DpBatchedSampler with the int8-STORED KV cache (MAGI_ATTN_INT8):
+    the dict cache {kv int8, scale f32} gains a leading request axis and
+    batched == independent walks (identical int8 math per request)."""
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+    cfg = tiny_config()
+    inps = [make_input(cfg, 2, key=0), make_input(cfg, 2, key=1)]
+    keys = [jax.random.PRNGKey(7), jax.random.PRNGKey(8)]
+    for inp in inps[1:]:
+        inp.null_emb = inps[0].null_emb
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    refs = single_walks(cfg, params, inps, keys)
+    s = DpBatchedSampler(cfg, params, inps, keys)
+    assert isinstance(s.cache, dict) and s.cache["kv"].dtype == jnp.int8
+    assert s.cache["kv"].ndim == 6  # [R, L, 2, G, tok, hd]
+    got = {ci: lat for ci, lat in s.walk()}
+    for ci, lat in got.items():
+        for r, ref in enumerate(refs):
+            np.testing.assert_allclose(lat[r], ref[ci], atol=1e-4, rtol=1e-4)
