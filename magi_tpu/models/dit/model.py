@@ -105,6 +105,75 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len, q_pro=None):
 
     mesh = mesh_lib.get_mesh()
     n_shards = mesh_lib.head_shards(mesh)
+
+    # int8 cross-attention (MAGI_ATTN_INT8, beyond parity): ride the
+    # two-source q8 kernel with an EMPTY second source — k/v pack into the
+    # kernel layout (tiny: caption kv), quantize per-token, and the fused
+    # norm-only q prologue runs in-kernel.  The Pallas kernel needs a
+    # lane-aligned head_dim (DiT's is 128; the VAE has its own _attention
+    # and is unaffected by this flag); the CPU reference path has no such
+    # constraint, so tiny-model tests exercise this branch too.
+    if _attn_int8() and (q.shape[2] % 128 == 0 or not _use_pallas()):
+        from magi_tpu.ops.attention_q8 import (
+            quantize_kv_per_token,
+            segmented_attention_two_source_q8,
+            segmented_attention_two_source_q8_reference,
+        )
+
+        kv_pack = jnp.stack([k.transpose(1, 0, 2), v.transpose(1, 0, 2)])
+        kv8, sc = quantize_kv_per_token(kv_pack.astype(q.dtype))
+        hk_ = kv8.shape[1]
+        hd_ = kv8.shape[3]
+        empty = jnp.zeros((2, hk_, 0, hd_), jnp.int8)
+        esc = jnp.zeros((2, hk_, 0), jnp.float32)
+        z = jnp.zeros_like(kv_start)
+        if mesh_lib.mesh_is_trivial(mesh) or n_shards == 1:
+            f = (segmented_attention_two_source_q8 if _use_pallas()
+                 else segmented_attention_two_source_q8_reference)
+            kw = dict(q_prologue=q_pro) if _use_pallas() else {}
+            return f(q, kv8, sc, empty, esc, kv_start, kv_end, z, z,
+                     seg_len=seg_len, **kw)
+        heads_ = mesh_lib.HEAD_AXES
+        qspec = P(None, heads_, None)
+        kvspec = P(None, heads_, None, None)
+        scspec = P(None, heads_, None)
+        if q_pro is None:
+            def sharded_x8(qq, k8, s8, e8, es8, a, b):
+                zz = jnp.zeros_like(a)
+                f = (segmented_attention_two_source_q8 if _use_pallas()
+                     else segmented_attention_two_source_q8_reference)
+                return f(qq, k8, s8, e8, es8, a, b, zz, zz, seg_len=seg_len)
+
+            fn = jax.shard_map(
+                sharded_x8,
+                mesh=mesh_lib.shard_map_mesh(),
+                in_specs=(qspec, kvspec, scspec, kvspec, scspec, P(), P()),
+                out_specs=qspec,
+                axis_names=set(mesh_lib.HEAD_AXES),
+            )
+            return _reshard_heads_to_tokens(
+                fn(q, kv8, sc, empty, esc, kv_start, kv_end)
+            )
+        qwx, qbx, _, _, ln_eps_x = q_pro
+
+        def sharded_x8_pro(qq, k8, s8, e8, es8, a, b, w_, b_):
+            zz = jnp.zeros_like(a)
+            return segmented_attention_two_source_q8(
+                qq, k8, s8, e8, es8, a, b, zz, zz, seg_len=seg_len,
+                q_prologue=(w_, b_, None, None, ln_eps_x),
+            )
+
+        fn = jax.shard_map(
+            sharded_x8_pro,
+            mesh=mesh_lib.shard_map_mesh(),
+            in_specs=(qspec, kvspec, scspec, kvspec, scspec, P(), P(), P(), P()),
+            out_specs=qspec,
+            axis_names=set(mesh_lib.HEAD_AXES),
+        )
+        return _reshard_heads_to_tokens(
+            fn(q, kv8, sc, empty, esc, kv_start, kv_end, qwx, qbx)
+        )
+
     if mesh_lib.mesh_is_trivial(mesh) or n_shards == 1:
         return impl(q, k, v, kv_start, kv_end, seg_len=seg_len)
 

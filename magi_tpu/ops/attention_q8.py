@@ -117,10 +117,16 @@ def _seg_attn_kernel_two_source_q8(
     fused_norm: bool = False,
     ln_eps: float = 1e-6,
 ):
-    if fused_norm:
+    if fused_norm and fused_rot:
         (qw_ref, qb_ref, sin_ref, cos_ref,
          o_ref, k_buf, v_buf, sk_buf, sv_buf, sems,
          m_scr, l_scr, acc_scr, q_scr, sq_scr) = rest
+    elif fused_norm:
+        # norm-only prologue (cross-attention: no rope)
+        (qw_ref, qb_ref,
+         o_ref, k_buf, v_buf, sk_buf, sv_buf, sems,
+         m_scr, l_scr, acc_scr, q_scr, sq_scr) = rest
+        sin_ref = cos_ref = None
     else:
         (o_ref, k_buf, v_buf, sk_buf, sv_buf, sems,
          m_scr, l_scr, acc_scr, q_scr, sq_scr) = rest

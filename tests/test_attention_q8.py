@@ -185,3 +185,17 @@ def test_int8_stored_cache_equals_per_forward_quantize(monkeypatch):
     for (ia, la), (ib, lb) in zip(chunks_pf, chunks_st):
         assert ia == ib
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_norm_only_prologue(rng):
+    """fused_norm WITHOUT rope (the cross-attention prologue shape)."""
+    hd, S = 128, 2 * 128
+    w = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(hd) * 0.05, jnp.float32)
+    pro = (w, b, None, None, 1e-6)
+    got, want, full = run(
+        rng, 2, 128, 256, 256, 4, 2, hd,
+        r1=[(0, 256), (0, 128)], r2=[(0, 128), (0, 256)],
+        q_prologue=pro,
+    )
+    check(got, want, full)
