@@ -972,19 +972,33 @@ class HostKVCache:
     def __init__(self, config: MagiConfig, max_tokens: int):
         import ml_dtypes
 
+        from magi_tpu.models.dit.model import _attn_int8_store
+
         shape = kv_cache_shape(config, max_tokens)  # [L, 2, hk, tok, hd]
-        dt = config.model_config.params_dtype
-        np_dt = ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
-        self.buf = np.zeros(shape, np_dt)
+        if _attn_int8_store():
+            # int8 attention mode: host buffers hold the quantized cache —
+            # half the host RAM AND half the host<->HBM streaming bytes
+            # (the bottleneck of this mode); layer slabs are {kv, scale}
+            # dicts, same structure as the in-HBM int8-stored cache
+            self.buf = {
+                "kv": np.zeros(shape, np.int8),
+                "scale": np.zeros(shape[:-1], np.float32),
+            }
+        else:
+            dt = config.model_config.params_dtype
+            np_dt = ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
+            self.buf = np.zeros(shape, np_dt)
         self._inflight: dict = {}
 
     @property
     def num_layers(self) -> int:
-        return self.buf.shape[0]
+        return jax.tree_util.tree_leaves(self.buf)[0].shape[0]
 
     def prefetch(self, l: int) -> None:
         if 0 <= l < self.num_layers and l not in self._inflight:
-            self._inflight[l] = jax.device_put(self.buf[l])
+            self._inflight[l] = jax.device_put(
+                jax.tree.map(lambda b: b[l], self.buf)
+            )
 
     def fetch(self, l: int):
         self.prefetch(l)
@@ -992,7 +1006,11 @@ class HostKVCache:
         return self._inflight.pop(l)
 
     def store(self, l: int, dev_slab) -> None:
-        self.buf[l] = np.asarray(dev_slab)
+        if isinstance(self.buf, dict):
+            for k2 in self.buf:
+                self.buf[k2][l] = np.asarray(dev_slab[k2])
+        else:
+            self.buf[l] = np.asarray(dev_slab)
 
 
 def _s_pre3(config, xs, sp, caption_embs, y_lens_win, null_emb, null_len, tvec,

@@ -41,3 +41,24 @@ def test_host_offload_cfg3_v2v_prefix_matches():
 
 def test_host_offload_cfg1_distill_matches():
     _walks({"engine": {"distill": True}, "runtime": {"cfg_number": 1, "num_steps": 4, "window_size": 2}})
+
+
+def test_host_offload_attn_int8_matches(monkeypatch):
+    """Streamed host-offloaded walk with the int8-STORED cache: host buffers
+    hold {kv int8, scale f32} (half the RAM and half the streaming bytes)
+    and the walk equals the in-HBM int8 walk bit-for-bit."""
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+    cfg_a = tiny_config()
+    cfg_b = tiny_config()
+    cfg_b.engine_config.kv_offload = True
+    params = init_dit_params(jax.random.PRNGKey(0), cfg_a)
+    sa = ArdfSampler(cfg_a, params, make_input(cfg_a, 2), jax.random.PRNGKey(7))
+    assert isinstance(sa.cache, dict)  # in-HBM int8-stored
+    ref = [c for _, c in sa.walk()]
+    sb = ArdfSampler(cfg_b, params, make_input(cfg_b, 2), jax.random.PRNGKey(7))
+    assert sb.host_mode and isinstance(sb.host_cache.buf, dict)
+    assert sb.host_cache.buf["kv"].dtype == np.int8
+    got = [c for _, c in sb.walk()]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    assert np.abs(sb.host_cache.buf["kv"]).max() > 0  # host cache written
