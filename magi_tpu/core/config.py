@@ -135,6 +135,10 @@ class EngineConfig:
     # chip — see ops/quant.quantize_params_int4).
     fp8_quant: bool = False
     quant_bits: int = 8  # 8 (w8a8) or 4 (w4a8); active when fp8_quant/MAGI_INT8
+    # int8 ATTENTION (beyond parity — the reference keeps attention bf16):
+    # both attention matmuls on the int8 MXU + int8-stored KV cache
+    # (ops/attention_q8).  Equivalent to MAGI_ATTN_INT8=1.
+    attn_int8: bool = False
 
     # Distillation
     distill_nearly_clean_chunk_threshold: float = 0.3

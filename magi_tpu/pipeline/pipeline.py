@@ -62,6 +62,11 @@ class MagiPipeline:
         self.config = MagiConfig.from_json(config_path)
         self.key = set_random_seed(self.config.runtime_config.seed)
         ec = self.config.engine_config
+        if ec.attn_int8:
+            # config-surface switch for int8 attention; the model layer
+            # reads the env (which also keys the sampler jit cache), so
+            # translate before any sampler/step is built
+            os.environ["MAGI_ATTN_INT8"] = "1"
         if ec.world_size > 1:
             initialize_mesh(self.config)
         # persistent jit cache (CUDA-graph analog: compile once, reuse forever)
