@@ -202,6 +202,9 @@ def main() -> None:
             np.asarray(s4.xs.ravel()[:1])
             fps_fast_i8a = n_emitted * cfg_a8.runtime_config.chunk_width * up / (time.perf_counter() - t0)
             del s4
+        except Exception as e:  # noqa: BLE001 — optional variant must never
+            # take down the headline JSON (e.g. a Mosaic lowering surprise)
+            print(json.dumps({"attn_int8_variant_error": repr(e)[:300]}), file=sys.stderr)
         finally:
             os.environ["MAGI_ATTN_INT8"] = "0"
 
