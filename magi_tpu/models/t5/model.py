@@ -249,8 +249,14 @@ class T5Embedder:
         device: str = "cpu",
     ):
         """`device` mirrors runtime_config.t5_device (ref: config.py:80):
-        "cpu" keeps the ~9GB T5-XXL on host CPU so it never competes with
-        the DiT for HBM; anything else uses the default accelerator."""
+        "cpu" runs the ~9GB T5-XXL on host CPU so it never competes with
+        the DiT for HBM (measured 220 s/prompt at L=800 on a weak host —
+        docs/perf_notes.md); anything else STAGES: params stay cached on
+        host, are pushed to the accelerator per encode call, and the
+        device copy is freed afterwards — T5 never holds HBM while the
+        DiT walks (the reference frees the whole embedder instead via
+        OFFLOAD_T5_CACHE, prompt_process.py; staging keeps the host copy
+        warm).  `_exec_device` overrides the accelerator for tests."""
         import json
 
         from transformers import AutoTokenizer
@@ -261,11 +267,12 @@ class T5Embedder:
 
         with open(os.path.join(cache_dir, "config.json")) as f:
             self.config = T5Config.from_hf_config(json.load(f))
+        self._host = jax.devices("cpu")[0]
         if device == "cpu":
-            self._device = jax.devices("cpu")[0]
+            self._device = self._host
         else:
             self._device = jax.devices()[0]
-        with jax.default_device(self._device):
+        with jax.default_device(self._host):
             self.params = self._load_params(cache_dir, dtype)
         self._forward = jax.jit(
             lambda p, ids, mask: t5_encoder_forward(p, self.config, ids, mask),
@@ -308,8 +315,21 @@ class T5Embedder:
             add_special_tokens=True,
             return_tensors="np",
         )
+        embs = self._encode_ids(
+            jnp.asarray(tok["input_ids"], jnp.int32),
+            jnp.asarray(tok["attention_mask"], jnp.int32),
+        )
+        return embs, jnp.asarray(tok["attention_mask"], jnp.int32)
+
+    def _encode_ids(self, ids, mask):
         with jax.default_device(self._device):
-            ids = jnp.asarray(tok["input_ids"], jnp.int32)
-            mask = jnp.asarray(tok["attention_mask"], jnp.int32)
-            embs = self._forward(self.params, ids, mask)
-        return embs, mask
+            if self._device is self._host:
+                return self._forward(self.params, ids, mask)
+            # stage: host-cached params -> accelerator, encode, free the
+            # device copy so T5 holds no HBM during the DiT walk
+            dev_params = jax.device_put(self.params, self._device)
+            embs = self._forward(dev_params, ids, mask)
+            embs = jax.device_put(embs, self._host)
+            embs.block_until_ready()
+            del dev_params
+        return embs

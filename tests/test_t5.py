@@ -65,3 +65,40 @@ def test_clean_caption():
     assert clean_caption("Hello <person> visit https://example.com NOW!!") == "hello person visit now!"
     assert clean_caption("a   b  c") == "a b c"
     assert text_preprocessing("MiXeD CaSe", enabled=False) == "mixed case"
+
+
+def test_staged_device_encode_frees_accelerator():
+    """t5_device != cpu STAGES: params cached on host, pushed per encode,
+    device copy freed after — T5 holds no accelerator memory during the
+    DiT walk.  Emulated with two virtual CPU devices."""
+    import jax
+
+    from magi_tpu.models.t5.model import T5Embedder, init_t5_params
+
+    host, accel = jax.devices()[0], jax.devices()[1]
+    cfg = T5Config(
+        vocab_size=50, d_model=16, d_kv=4, num_heads=4, d_ff=32,
+        num_layers=2, rel_buckets=8, rel_max_distance=16,
+    )
+    emb = T5Embedder.__new__(T5Embedder)  # skip __init__ (needs tokenizer)
+    emb.config = cfg
+    emb._host = host
+    emb._device = accel
+    emb.params = jax.device_put(init_t5_params(cfg), host)
+    emb._forward = jax.jit(
+        lambda p, ids, mask: t5_encoder_forward(p, cfg, ids, mask), device=accel
+    )
+    ids = jax.device_put(jnp.asarray([[1, 2, 3, 0]], jnp.int32), host)
+    mask = jax.device_put(jnp.asarray([[1, 1, 1, 0]], jnp.int32), host)
+    out = emb._encode_ids(ids, mask)
+    # result lands on HOST, params stayed host-resident
+    assert out.devices() == {host}
+    assert all(
+        leaf.devices() == {host}
+        for leaf in jax.tree_util.tree_leaves(emb.params)
+    )
+    # and equals the plain host forward
+    want = t5_encoder_forward(emb.params, cfg, ids, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
