@@ -183,3 +183,27 @@ def test_batch_mixed_shapes_falls_back_to_interleave(pipeline_env, tmp_path, mon
     outs = [str(tmp_path / f"fb{i}.mp4") for i in range(2)]
     pipe.run_text_to_video_batch(["a cat", "a dog"], outs)
     assert called["args"][0] == ["a cat", "a dog"]
+
+
+def test_t2v_attn_int8_config_switch(pipeline_env, tmp_path, monkeypatch):
+    """engine_config.attn_int8 drives the int8-attention mode through the
+    full CLI pipeline (config -> env translation -> int8-stored cache ->
+    mp4 out)."""
+    import os as _os
+
+    from magi_tpu.pipeline.pipeline import MagiPipeline
+
+    # setenv FIRST so monkeypatch teardown removes the var even if the
+    # pipeline (which sets it to "1" itself) raises mid-test
+    monkeypatch.setenv("MAGI_ATTN_INT8", "0")
+    cfg_path = tiny_config_json(tmp_path)
+    cfg = json.loads(open(cfg_path).read())
+    cfg["engine_config"]["attn_int8"] = True
+    p = tmp_path / "tiny_int8.json"
+    p.write_text(json.dumps(cfg))
+
+    out = str(tmp_path / "out_attn_int8.mp4")
+    pipe = MagiPipeline(str(p))
+    assert _os.environ.get("MAGI_ATTN_INT8") == "1"
+    pipe.run_text_to_video("a red cube", out)
+    assert _check_video(out) == 16
