@@ -174,8 +174,10 @@ def _seg_attn_kernel_two_source_q8(
             )
             repeats = block_k // NUM_LANES
             # dequant: row scale (carries sm_scale*LOG2E) x per-token k scale
+            # (the (1, block_k) scale buffers broadcast over rows directly —
+            # no 1-D intermediates, which Mosaic lowers poorly)
             s = s32.astype(jnp.float32) * jnp.tile(sq_scr[...], (1, repeats))
-            s = s * sk_buf[slot][0][None, :]
+            s = s * sk_buf[slot]
             if masked:
                 col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
                 valid = jnp.logical_and(col >= start, col < end)
@@ -201,7 +203,7 @@ def _seg_attn_kernel_two_source_q8(
 
             # fold the per-token v scale into p, requantize p per row, and
             # run pv on the int8 MXU: pv = (p8 . v8)_i32 * sp_i
-            pv = p * sv_buf[slot][0][None, :]
+            pv = p * sv_buf[slot]
             pmax = jnp.max(pv, axis=1)[:, None]  # [rows, 1]
             sp = jnp.maximum(pmax, 1e-20) * (1.0 / 127.0)
             p8 = jnp.round(pv * (1.0 / sp)).astype(jnp.int8)  # pv >= 0
