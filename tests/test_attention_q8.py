@@ -199,3 +199,26 @@ def test_norm_only_prologue(rng):
         q_prologue=pro,
     )
     check(got, want, full)
+
+
+def test_warm_step_variants_with_int8_store(monkeypatch):
+    """bench.py warms every jit variant before the int8-attention walk;
+    the warm chain must thread the DICT cache through donated step calls
+    and rebuild pristine int8-stored state."""
+    import jax
+
+    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.sampling.transport import ArdfSampler
+    from tests.test_transport import make_input
+    from tests.tiny import tiny_config
+
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+    cfg = tiny_config()
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    ref = [c for _, c in ArdfSampler(cfg, params, make_input(cfg, 2), jax.random.PRNGKey(7)).walk()]
+    s = ArdfSampler(cfg, params, make_input(cfg, 2), jax.random.PRNGKey(7))
+    n = s.warm_step_variants()
+    assert n > 0 and isinstance(s.cache, dict)
+    got = [c for _, c in s.walk()]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
