@@ -274,9 +274,12 @@ class T5Embedder:
             self._device = jax.devices()[0]
         with jax.default_device(self._host):
             self.params = self._load_params(cache_dir, dtype)
+        # COMMIT params to host so the jit runs where its inputs live
+        # (jit's `device=` arg is deprecated; committed-input placement is
+        # the supported mechanism — _encode_ids device_puts per call)
+        self.params = jax.device_put(self.params, self._host)
         self._forward = jax.jit(
-            lambda p, ids, mask: t5_encoder_forward(p, self.config, ids, mask),
-            device=self._device,
+            lambda p, ids, mask: t5_encoder_forward(p, self.config, ids, mask)
         )
 
     def _load_params(self, path: str, dtype):
@@ -328,6 +331,8 @@ class T5Embedder:
             # stage: host-cached params -> accelerator, encode, free the
             # device copy so T5 holds no HBM during the DiT walk
             dev_params = jax.device_put(self.params, self._device)
+            ids = jax.device_put(ids, self._device)
+            mask = jax.device_put(mask, self._device)
             embs = self._forward(dev_params, ids, mask)
             embs = jax.device_put(embs, self._host)
             embs.block_until_ready()

@@ -86,7 +86,7 @@ def test_staged_device_encode_frees_accelerator():
     emb._device = accel
     emb.params = jax.device_put(init_t5_params(cfg), host)
     emb._forward = jax.jit(
-        lambda p, ids, mask: t5_encoder_forward(p, cfg, ids, mask), device=accel
+        lambda p, ids, mask: t5_encoder_forward(p, cfg, ids, mask)
     )
     ids = jax.device_put(jnp.asarray([[1, 2, 3, 0]], jnp.int32), host)
     mask = jax.device_put(jnp.asarray([[1, 1, 1, 0]], jnp.int32), host)
