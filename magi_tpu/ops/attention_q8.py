@@ -51,8 +51,10 @@ def quantize_kv_per_token(kv: jax.Array, eps: float = 1e-8):
     """[2, hk, S, hd] (bf16/f32) -> (int8 same shape, f32 scales [2, hk, S]).
 
     Symmetric per-token quantization: scale_t = max_d |kv[t, d]| / 127.
-    XLA path — used for cache writes on meshes and as the test reference;
-    the on-chip path fuses this into `kv_norm_rope_pack_q8`.
+    XLA pass over the packed kv (fuses with the pack on CPU/mesh paths;
+    ~1% of a step on-chip — folding it into the kv_norm_rope_pack kernel
+    as a second int8+scales output is a possible future saving once the
+    q8 kernel is chip-validated).
     """
     kvf = kv.astype(jnp.float32)
     amax = jnp.max(jnp.abs(kvf), axis=-1)  # [2, hk, S]
