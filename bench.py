@@ -124,7 +124,14 @@ def main() -> None:
     from magi_tpu.models.dit.model import init_dit_params
     from magi_tpu.sampling.transport import ArdfSampler
 
-    on_tpu = jax.default_backend() == "tpu"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError as e:
+        # axon tunnel down: backend init raises after a long hang.  Fall
+        # back to the CPU smoke so the driver still records a JSON line.
+        print(json.dumps({"tpu_backend_error": repr(e)[:200]}), file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        on_tpu = False
     config = _flagship_config()
     mc, rc = config.model_config, config.runtime_config
 
