@@ -107,10 +107,12 @@ def _seg_attn_kernel_two_source_q8(
     r2_end_ref,
     # inputs
     q_ref,     # [1, block_q, q_per_kv*hd] VMEM, TOKEN-MAJOR (raw if fused)
-    kv1_hbm,   # [2, hk, kv1_pad, hd] int8 ANY (source 1: KV cache)
-    sc1_hbm,   # [2, hk, kv1_pad] f32 ANY (per-token scales, [0]=k [1]=v)
-    kv2_hbm,   # [2, hk, kv2_pad, hd] int8 ANY (source 2: current kv)
-    sc2_hbm,   # [2, hk, kv2_pad] f32 ANY
+    kv1_hbm,   # [2, hk, kv1_pad, hd] int8 HBM (source 1: KV cache)
+    sc1_hbm,   # [2, hk, n1_tiles, block_k//128, 128] f32 HBM per-token
+               # scales in the tiled view ([0]=k [1]=v; token t of tile i
+               # at [i, t//128, t%128])
+    kv2_hbm,   # [2, hk, kv2_pad, hd] int8 HBM (source 2: current kv)
+    sc2_hbm,   # [2, hk, n2_tiles, block_k//128, 128] f32 HBM
     *rest,
     block_k: int,
     q_per_kv: int,
@@ -151,6 +153,12 @@ def _seg_attn_kernel_two_source_q8(
 
         def dma(slot, tile):
             off = pl.multiple_of(tile * block_k, block_k)
+            # scales_hbm is the [2, hk, n_tiles, block_k//128, 128] view of
+            # the per-token scales: the per-tile copy slices the last two
+            # dims FULLY, which Mosaic accepts for any block_k (a
+            # (1, block_k) lane-vector slice trips the (8, 128) sublane
+            # tiling rule — memref slices along a size-8 head dim must be
+            # 8-aligned, observed at compile on chip).
             return (
                 pltpu.make_async_copy(
                     src_hbm.at[0, kv_head, pl.ds(off, block_k), :],
@@ -159,10 +167,10 @@ def _seg_attn_kernel_two_source_q8(
                     src_hbm.at[1, kv_head, pl.ds(off, block_k), :],
                     v_buf.at[slot], sems.at[slot, 1]),
                 pltpu.make_async_copy(
-                    scales_hbm.at[0, pl.ds(kv_head, 1), pl.ds(off, block_k)],
+                    scales_hbm.at[0, kv_head, tile],
                     sk_buf.at[slot], sems.at[slot, 2]),
                 pltpu.make_async_copy(
-                    scales_hbm.at[1, pl.ds(kv_head, 1), pl.ds(off, block_k)],
+                    scales_hbm.at[1, kv_head, tile],
                     sv_buf.at[slot], sems.at[slot, 3]),
             )
 
@@ -175,11 +183,21 @@ def _seg_attn_kernel_two_source_q8(
                 preferred_element_type=jnp.int32,
             )
             repeats = block_k // NUM_LANES
-            # dequant: row scale (carries sm_scale*LOG2E) x per-token k scale
-            # (the (1, block_k) scale buffers broadcast over rows directly —
-            # no 1-D intermediates, which Mosaic lowers poorly)
+            # dequant: row scale (carries sm_scale*LOG2E) x per-token k scale.
+            # The k scales arrive as (block_k//128, 128) tiles (token t at
+            # [t//128, t%128]); apply them per 128-lane column chunk via a
+            # static sublane-extract + broadcast — guaranteed-lowerable,
+            # unlike a (chunks,128)->(1,block_k) shape cast.
             s = s32.astype(jnp.float32) * jnp.tile(sq_scr[...], (1, repeats))
-            s = s * sk_buf[slot]
+            sk_all = sk_buf[slot]
+            s = jnp.concatenate(
+                [
+                    s[:, j * NUM_LANES : (j + 1) * NUM_LANES]
+                    * sk_all[j][None, :]
+                    for j in range(repeats)
+                ],
+                axis=1,
+            )
             if masked:
                 col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
                 valid = jnp.logical_and(col >= start, col < end)
@@ -205,7 +223,15 @@ def _seg_attn_kernel_two_source_q8(
 
             # fold the per-token v scale into p, requantize p per row, and
             # run pv on the int8 MXU: pv = (p8 . v8)_i32 * sp_i
-            pv = p * sv_buf[slot]
+            sv_all = sv_buf[slot]
+            pv = jnp.concatenate(
+                [
+                    p[:, j * NUM_LANES : (j + 1) * NUM_LANES]
+                    * sv_all[j][None, :]
+                    for j in range(repeats)
+                ],
+                axis=1,
+            )
             pmax = jnp.max(pv, axis=1)[:, None]  # [rows, 1]
             sp = jnp.maximum(pmax, 1e-20) * (1.0 / 127.0)
             p8 = jnp.round(pv * (1.0 / sp)).astype(jnp.int8)  # pv >= 0
@@ -315,6 +341,10 @@ def segmented_attention_two_source_q8(
         if pad != n:
             kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad - n), (0, 0)))
             sc = jnp.pad(sc, ((0, 0), (0, 0), (0, pad - n)))
+        # [2, hk, pad] -> [2, hk, n_tiles, block_k//128, 128]: a free
+        # minor-dim split; gives the kernel a fully-sliceable per-tile
+        # scale block (see the DMA comment in the kernel).
+        sc = sc.reshape(2, hk, pad // block_k, block_k // NUM_LANES, NUM_LANES)
         return kv, sc
 
     kv1_r, sc1_r = prep(kv1, sc1.astype(jnp.float32), kv1_len)
@@ -323,18 +353,24 @@ def segmented_attention_two_source_q8(
     grid = (n_seg, hk, seg_pad // block_q)
     rows = q_per_kv * block_q
 
+    # kv/scale operands are hand-DMA'd per tile: pin them to HBM.  With
+    # pl.ANY, Mosaic promotes the small f32 scale arrays to VMEM, where a
+    # (1, 1, block_k) memref_slice violates the (8, 128) tiling rule
+    # ("slice along dim 1 must be aligned to tiling (8)") — HBM is untiled
+    # so the singleton-sublane DMA source slice is legal.
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     in_specs = [
         pl.BlockSpec((1, block_q, q_per_kv * hd), lambda s, g, qt, *_: (s, qt, g)),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
+        hbm,
+        hbm,
+        hbm,
+        hbm,
     ]
     scratch_shapes = [
         pltpu.VMEM((2, block_k, hd), jnp.int8),      # k8 tiles
         pltpu.VMEM((2, block_k, hd), jnp.int8),      # v8 tiles
-        pltpu.VMEM((2, 1, block_k), jnp.float32),    # k scales
-        pltpu.VMEM((2, 1, block_k), jnp.float32),    # v scales
+        pltpu.VMEM((2, block_k // NUM_LANES, NUM_LANES), jnp.float32),  # k scales
+        pltpu.VMEM((2, block_k // NUM_LANES, NUM_LANES), jnp.float32),  # v scales
         pltpu.SemaphoreType.DMA((2, 4)),
         pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # m
         pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # l
