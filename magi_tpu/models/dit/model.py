@@ -55,12 +55,12 @@ def _use_pallas() -> bool:
 
 
 def _attn_int8() -> bool:
-    """BEYOND-PARITY option (`MAGI_ATTN_INT8=1`): run both self-attention
-    matmuls on the int8 MXU (ops/attention_q8) — kv quantized per-token,
-    q per-row in the kernel prologue, softmax p requantized per-row with
-    the v scale folded in.  The reference keeps attention bf16
-    (dit_module.py:431-487); this trades ~1% attention-output error for
-    ~2x MXU rate on the dominant kernel.  Single-chip Pallas path only."""
+    """BEYOND-PARITY option (`MAGI_ATTN_INT8=1`): int8-quantized attention
+    (ops/attention_q8) — kv stored int8 with per-token scales (cache HBM
+    and kv DMA bytes halve), consumed by one of three in-kernel schemes
+    selected by `MAGI_ATTN_Q8_SCHEME` (default "dq"; see
+    ops/attention_q8 + docs/perf_notes.md for the chip A/B).  The
+    reference keeps attention bf16 (dit_module.py:431-487)."""
     return os.environ.get("MAGI_ATTN_INT8", "0") == "1"
 
 

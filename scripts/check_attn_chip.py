@@ -160,8 +160,12 @@ def _check_fused_norm(rng, n_seg, seg_len2, D):
         want = (xf - mu) / np.sqrt(var + 1e-6) * wref + np.asarray(b)
         want = want + np.asarray(res, np.float32)
         dn = np.abs(np.asarray(got, np.float32) - want)
-        print(f"fused_norm D={D} zc={zc} max_err={dn.max():.4f}")
-        assert dn.max() < 0.1, dn.max()
+        # bf16 output: tolerance must scale with output magnitude (ulp at
+        # |want|~10 is 0.0625; a fixed 0.1 fails at the 24B width).  Allow
+        # 3 ulp of the largest output + a tight mean bound.
+        tol = 3 * 2.0**-7 * np.abs(want).max()
+        print(f"fused_norm D={D} zc={zc} max_err={dn.max():.4f} tol={tol:.4f}")
+        assert dn.max() < tol and dn.mean() < 1e-2, (dn.max(), tol, dn.mean())
 
 
 if __name__ == "__main__":
