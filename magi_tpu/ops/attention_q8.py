@@ -1,33 +1,45 @@
-"""Int8 segmented block-causal attention (SageAttention-style), TPU Pallas.
+"""Int8 segmented block-causal attention, TPU Pallas.
 
 BEYOND-PARITY experiment: the reference keeps attention in bf16 and
 quantizes linears only (ref: dit_module.py:431-487).  On v5e the int8 MXU
 peak is ~2x bf16 and the segmented-attention kernels are ~60% of a denoise
-step (docs/perf_notes.md), so quantizing BOTH attention matmuls is the
-largest remaining step-time lever.  Scheme (arxiv 2410.02367 int8 variant,
-re-derived for the TPU kernel layout):
+step (docs/perf_notes.md), so quantizing attention is the largest
+remaining step-time lever.  kv is stored int8 with PER-TOKEN symmetric
+scales (quantized once at cache-write time; k is layernormed+roped so
+near zero-mean) — kv DMA bytes and cache HBM halve regardless of scheme.
 
-- k, v: int8 with PER-TOKEN symmetric scales, quantized once at
-  cache-write time (k is layernormed+roped so near zero-mean; no
-  smoothing term needed).  kv DMA bytes halve — the kernel is DMA-bound
-  at short-kv shapes, so this helps even off the MXU.
-- q: int8 with per-row scales, quantized in the kernel prologue after the
-  fused fp32 q-norm+rope.  logits = (q8 . k8^T)_i32 * sq_i * sk_j, exact
-  softmax math in f32 on the dequantized logits.
-- p (softmax weights): the per-token v scale folds into p BEFORE its own
-  per-row int8 requantization — pv = (p8 . v8)_i32 * sp_i, so the second
-  matmul also runs on the int8 MXU.  The softmax normalizer l is computed
-  from the UNQUANTIZED p, identical to the bf16 kernel.
+Three in-kernel SCHEMES share the streaming-DMA / two-source / GQA-fold
+skeleton of `ops.attention._seg_attn_kernel_two_source` and differ in how
+the int8 kv is consumed (chip-measured in docs/perf_notes.md):
 
-Same streaming-DMA / two-source / GQA-fold structure as
-`ops/attention._seg_attn_kernel_two_source` (kv tiles double-buffered
-over exactly the attended ranges; the whole GQA group folded into matmul
-rows; token-major q/o).
+- "sage"  (SageAttention-style, arxiv 2410.02367): BOTH matmuls int8.
+  q per-row int8 in the prologue; logits = (q8.k8)_i32 * sq_i * sk_j;
+  softmax-p per-row requantized with the v scale folded in so pv runs on
+  the int8 MXU.  Measured 0.81x vs bf16 on v5e: the per-column scale
+  applications + p-requant VPU passes cost more than the int8 dots save.
+- "qk8": q.k int8, p.v bf16.  The s dequant fuses cast + per-row q scale
+  + per-token k scale into ONE concatenate pass; the per-token v scale
+  folds into p's columns in the same concatenate that casts p to bf16
+  (NO per-row requant, no p-max reduce), and the second matmul runs
+  bf16 against the raw int8 v cast to bf16 (ints in [-127,127] are
+  exact in bf16).  Drops the sage scheme's p-max/requant passes.
+- "dq": pure DMA-halving.  Both dots run bf16: k casts int8->bf16 RAW
+  (exact) and its per-token scale applies post-dot on the logit columns
+  (replacing the sm_scale multiply); v handled as in "qk8".  q stays
+  bf16 — zero quantization error on q or p.
+
+All scale applications use the (bk//128, 128) ROW-TILED view — a
+[block_k, 1] column view does not lower (Mosaic: HBM slice along the
+last dim must be 128-aligned; observed on chip).
+
+Scheme selection: `MAGI_ATTN_Q8_SCHEME` env (default "qk8"; see
+docs/perf_notes.md round-3 chip A/B).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -43,8 +55,17 @@ from magi_tpu.ops.attention import (
     NUM_LANES,
     _fit_group_blocks,
     _pick_block,
+    _q_prologue,
     segmented_attention_two_source_reference,
 )
+
+SCHEMES = ("sage", "qk8", "dq")
+
+
+def default_scheme() -> str:
+    s = os.environ.get("MAGI_ATTN_Q8_SCHEME", "qk8")
+    assert s in SCHEMES, f"MAGI_ATTN_Q8_SCHEME must be one of {SCHEMES}, got {s!r}"
+    return s
 
 
 def quantize_kv_per_token(kv: jax.Array, eps: float = 1e-8):
@@ -53,8 +74,7 @@ def quantize_kv_per_token(kv: jax.Array, eps: float = 1e-8):
     Symmetric per-token quantization: scale_t = max_d |kv[t, d]| / 127.
     XLA pass over the packed kv (fuses with the pack on CPU/mesh paths;
     ~1% of a step on-chip — folding it into the kv_norm_rope_pack kernel
-    as a second int8+scales output is a possible future saving once the
-    q8 kernel is chip-validated).
+    as a second int8+scales output is a possible future saving).
     """
     kvf = kv.astype(jnp.float32)
     amax = jnp.max(jnp.abs(kvf), axis=-1)  # [2, hk, S]
@@ -108,33 +128,35 @@ def _seg_attn_kernel_two_source_q8(
     # inputs
     q_ref,     # [1, block_q, q_per_kv*hd] VMEM, TOKEN-MAJOR (raw if fused)
     kv1_hbm,   # [2, hk, kv1_pad, hd] int8 HBM (source 1: KV cache)
-    sc1_hbm,   # [2, hk, n1_tiles, block_k//128, 128] f32 HBM per-token
-               # scales in the tiled view ([0]=k [1]=v; token t of tile i
-               # at [i, t//128, t%128])
+    sk1_hbm,   # k scales, source 1 — layout depends on scheme (see wrapper)
+    sv1_hbm,   # v scales, source 1
     kv2_hbm,   # [2, hk, kv2_pad, hd] int8 HBM (source 2: current kv)
-    sc2_hbm,   # [2, hk, n2_tiles, block_k//128, 128] f32 HBM
+    sk2_hbm,
+    sv2_hbm,
     *rest,
     block_k: int,
     q_per_kv: int,
     sm_scale: float,
+    scheme: str,
     fused_rot: int = 0,
     fused_norm: bool = False,
     ln_eps: float = 1e-6,
 ):
+    has_sq = scheme != "dq"
+    n_extra = 1 if has_sq else 0
     if fused_norm and fused_rot:
-        (qw_ref, qb_ref, sin_ref, cos_ref,
-         o_ref, k_buf, v_buf, sk_buf, sv_buf, sems,
-         m_scr, l_scr, acc_scr, q_scr, sq_scr) = rest
+        qw_ref, qb_ref, sin_ref, cos_ref = rest[:4]
+        rest = rest[4:]
     elif fused_norm:
-        # norm-only prologue (cross-attention: no rope)
-        (qw_ref, qb_ref,
-         o_ref, k_buf, v_buf, sk_buf, sv_buf, sems,
-         m_scr, l_scr, acc_scr, q_scr, sq_scr) = rest
+        qw_ref, qb_ref = rest[:2]
+        rest = rest[2:]
         sin_ref = cos_ref = None
     else:
-        (o_ref, k_buf, v_buf, sk_buf, sv_buf, sems,
-         m_scr, l_scr, acc_scr, q_scr, sq_scr) = rest
         qw_ref = qb_ref = sin_ref = cos_ref = None
+    (o_ref, k_buf, v_buf, sk_buf, sv_buf, sems,
+     m_scr, l_scr, acc_scr, q_scr) = rest[: 10]
+    sq_scr = rest[10] if has_sq else None
+    assert len(rest) == 10 + n_extra
 
     seg = pl.program_id(0)
     kv_head = pl.program_id(1)
@@ -143,22 +165,28 @@ def _seg_attn_kernel_two_source_q8(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    _q_prologue_q8(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, sq_scr,
-                   q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
-                   fused_norm=fused_norm, sm_scale=sm_scale)
+    if scheme == "dq":
+        _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                    q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
+                    fused_norm=fused_norm)
+    else:
+        _q_prologue_q8(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, sq_scr,
+                       q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
+                       fused_norm=fused_norm, sm_scale=sm_scale)
 
-    def phase(src_hbm, scales_hbm, start, end):
+    repeats = block_k // NUM_LANES
+
+    def phase(src_hbm, sk_hbm, sv_hbm, start, end):
         lo = start // block_k
         hi = lax.div(end + block_k - 1, block_k)
 
         def dma(slot, tile):
             off = pl.multiple_of(tile * block_k, block_k)
-            # scales_hbm is the [2, hk, n_tiles, block_k//128, 128] view of
-            # the per-token scales: the per-tile copy slices the last two
-            # dims FULLY, which Mosaic accepts for any block_k (a
-            # (1, block_k) lane-vector slice trips the (8, 128) sublane
-            # tiling rule — memref slices along a size-8 head dim must be
-            # 8-aligned, observed at compile on chip).
+            # Scale arrays are pre-shaped [hk, n_tiles, bk//128, 128] so
+            # the per-tile copy slices the LAST TWO dims fully — Mosaic
+            # accepts full last-two-dim slices for any block_k, while a
+            # (1, block_k) lane-vector or [block_k, 1] column slice trips
+            # the (8, 128)/128-lane tiling rules (observed on chip).
             return (
                 pltpu.make_async_copy(
                     src_hbm.at[0, kv_head, pl.ds(off, block_k), :],
@@ -167,42 +195,72 @@ def _seg_attn_kernel_two_source_q8(
                     src_hbm.at[1, kv_head, pl.ds(off, block_k), :],
                     v_buf.at[slot], sems.at[slot, 1]),
                 pltpu.make_async_copy(
-                    scales_hbm.at[0, kv_head, tile],
+                    sk_hbm.at[kv_head, tile],
                     sk_buf.at[slot], sems.at[slot, 2]),
                 pltpu.make_async_copy(
-                    scales_hbm.at[1, kv_head, tile],
+                    sv_hbm.at[kv_head, tile],
                     sv_buf.at[slot], sems.at[slot, 3]),
             )
 
         def tile_compute(i, slot, masked: bool):
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
-            q8 = q_scr[...]
-            k8 = k_buf[slot]
-            s32 = lax.dot_general(
-                q8, k8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            repeats = block_k // NUM_LANES
-            # dequant: row scale (carries sm_scale*LOG2E) x per-token k scale.
-            # The k scales arrive as (block_k//128, 128) tiles (token t at
-            # [t//128, t%128]); apply them per 128-lane column chunk via a
-            # static sublane-extract + broadcast — guaranteed-lowerable,
-            # unlike a (chunks,128)->(1,block_k) shape cast.
-            s = s32.astype(jnp.float32) * jnp.tile(sq_scr[...], (1, repeats))
-            sk_all = sk_buf[slot]
-            s = jnp.concatenate(
-                [
-                    s[:, j * NUM_LANES : (j + 1) * NUM_LANES]
-                    * sk_all[j][None, :]
-                    for j in range(repeats)
-                ],
-                axis=1,
-            )
+
+            # ---- first matmul + dequant -> f32 exp2-domain logits -------
+            if scheme == "dq":
+                # k casts int8->bf16 RAW (ints in [-127,127] are exact in
+                # bf16); its per-token scale applies post-dot on the logit
+                # columns, fused with the sm_scale*LOG2E multiply in one
+                # concatenate pass — replacing the baseline kernel's own
+                # scale pass, so this costs ~nothing extra.
+                k8 = k_buf[slot]                       # [bk, hd] int8
+                s_raw = lax.dot_general(
+                    q_scr[...], k8.astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sk_all = sk_buf[slot]                  # [bk//128, 128]
+                s = jnp.concatenate(
+                    [
+                        s_raw[:, j * NUM_LANES : (j + 1) * NUM_LANES]
+                        * (sk_all[j][None, :] * (sm_scale * LOG2E))
+                        for j in range(repeats)
+                    ],
+                    axis=1,
+                )
+            else:
+                q8 = q_scr[...]
+                k8 = k_buf[slot]
+                s32 = lax.dot_general(
+                    q8, k8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                # Fused dequant: cast + per-row q scale (carries
+                # sm_scale*LOG2E) + per-token k scale in ONE concatenate
+                # pass.  The k scales arrive as (bk//128, 128) row tiles
+                # (token t at [t//128, t%128]); each 128-lane column chunk
+                # multiplies by its scale vector via a static sublane
+                # extract + broadcast — guaranteed-lowerable, unlike a
+                # (chunks,128)->(1,block_k) shape cast.
+                sq = sq_scr[...]                       # [rows, 128]
+                sk_all = sk_buf[slot]                  # [bk//128, 128]
+                s = jnp.concatenate(
+                    [
+                        s32[:, j * NUM_LANES : (j + 1) * NUM_LANES].astype(
+                            jnp.float32
+                        )
+                        * sq
+                        * sk_all[j][None, :]
+                        for j in range(repeats)
+                    ],
+                    axis=1,
+                )
+
             if masked:
                 col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
                 valid = jnp.logical_and(col >= start, col < end)
                 s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
+            # ---- online softmax (identical to the bf16 kernel) ----------
             m_prev = m_scr[...]
             l_prev = l_scr[...]
             m_curr = jnp.max(s, axis=1)[:, None]
@@ -221,28 +279,49 @@ def _seg_attn_kernel_two_source_q8(
             m_scr[...] = m_next
             l_scr[...] = l_next
 
-            # fold the per-token v scale into p, requantize p per row, and
-            # run pv on the int8 MXU: pv = (p8 . v8)_i32 * sp_i
-            sv_all = sv_buf[slot]
-            pv = jnp.concatenate(
-                [
-                    p[:, j * NUM_LANES : (j + 1) * NUM_LANES]
-                    * sv_all[j][None, :]
-                    for j in range(repeats)
-                ],
-                axis=1,
-            )
-            pmax = jnp.max(pv, axis=1)[:, None]  # [rows, 1]
-            sp = jnp.maximum(pmax, 1e-20) * (1.0 / 127.0)
-            p8 = jnp.round(pv * (1.0 / sp)).astype(jnp.int8)  # pv >= 0
-            v8 = v_buf[slot]
-            pv32 = lax.dot_general(
-                p8, v8, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + (
-                pv32.astype(jnp.float32) * sp
-            )
+            # ---- second matmul -------------------------------------------
+            sv_all = sv_buf[slot]                      # [bk//128, 128]
+            if scheme == "sage":
+                # fold the per-token v scale into p, requantize p per row,
+                # and run pv on the int8 MXU: pv = (p8 . v8)_i32 * sp_i
+                pv = jnp.concatenate(
+                    [
+                        p[:, j * NUM_LANES : (j + 1) * NUM_LANES]
+                        * sv_all[j][None, :]
+                        for j in range(repeats)
+                    ],
+                    axis=1,
+                )
+                pmax = jnp.max(pv, axis=1)[:, None]  # [rows, 1]
+                sp = jnp.maximum(pmax, 1e-20) * (1.0 / 127.0)
+                p8 = jnp.round(pv * (1.0 / sp)).astype(jnp.int8)  # pv >= 0
+                v8 = v_buf[slot]
+                pv32 = lax.dot_general(
+                    p8, v8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                o_curr = pv32.astype(jnp.float32) * sp
+            else:
+                # fold the per-token v scale into p's columns in the same
+                # concatenate that casts p to bf16 (no requant, no p-max);
+                # v enters the dot as its RAW int8 values cast to bf16
+                # (exact).  One [rows, bk] pass + one [bk, hd] cast.
+                pv = jnp.concatenate(
+                    [
+                        (
+                            p[:, j * NUM_LANES : (j + 1) * NUM_LANES]
+                            * sv_all[j][None, :]
+                        ).astype(jnp.bfloat16)
+                        for j in range(repeats)
+                    ],
+                    axis=1,
+                )
+                v8 = v_buf[slot]
+                o_curr = lax.dot(
+                    pv, v8.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+            acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + o_curr
 
         @pl.when(lo < hi)
         def _():
@@ -277,8 +356,8 @@ def _seg_attn_kernel_two_source_q8(
 
             lax.fori_loop(lo, hi, body, (), unroll=False)
 
-    phase(kv1_hbm, sc1_hbm, r1_start_ref[seg], r1_end_ref[seg])
-    phase(kv2_hbm, sc2_hbm, r2_start_ref[seg], r2_end_ref[seg])
+    phase(kv1_hbm, sk1_hbm, sv1_hbm, r1_start_ref[seg], r1_end_ref[seg])
+    phase(kv2_hbm, sk2_hbm, sv2_hbm, r2_start_ref[seg], r2_end_ref[seg])
 
     # epilogue: identical to the bf16 kernel's _o_epilogue
     rows, head_dim = acc_scr.shape
@@ -314,6 +393,7 @@ def segmented_attention_two_source_q8(
     block_k: int = 1024,
     interpret: bool = False,
     q_prologue=None,  # (qln_w, qln_b, sin, cos, ln_eps) — as the bf16 kernel
+    scheme: Optional[str] = None,
 ) -> jax.Array:
     total_q, hq, hd = q.shape
     _, hk, kv1_len, _ = kv1.shape
@@ -322,6 +402,9 @@ def segmented_attention_two_source_q8(
     assert sc1.shape == (2, hk, kv1_len) and sc2.shape == (2, hk, kv2_len)
     if not interpret:
         assert hd % NUM_LANES == 0
+    if scheme is None:
+        scheme = default_scheme()
+    assert scheme in SCHEMES, scheme
     n_seg = total_q // seg_len
     q_per_kv = hq // hk
     if sm_scale is None:
@@ -336,19 +419,25 @@ def segmented_attention_two_source_q8(
     if seg_pad != seg_len:
         q_r = jnp.pad(q_r, ((0, 0), (0, seg_pad - seg_len), (0, 0)))
 
+    # scale-view builder: the kernel consumes per-token scales as ROW
+    # tiles ([hk, n_tiles, bk//128, 128] — token t of tile i at
+    # [i, t//128, t%128]), multiplied into 128-lane column chunks of the
+    # [rows, block_k] logit/p matrices.  A [block_k, 1] column view does
+    # NOT lower (Mosaic: an HBM slice along the last dim must be
+    # 128-aligned — observed at compile on chip).
+    def row_view(sc_1, pad):
+        return sc_1.reshape(hk, pad // block_k, block_k // NUM_LANES, NUM_LANES)
+
     def prep(kv, sc, n):
         pad = round_up(max(n, 1), block_k)
         if pad != n:
             kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad - n), (0, 0)))
             sc = jnp.pad(sc, ((0, 0), (0, 0), (0, pad - n)))
-        # [2, hk, pad] -> [2, hk, n_tiles, block_k//128, 128]: a free
-        # minor-dim split; gives the kernel a fully-sliceable per-tile
-        # scale block (see the DMA comment in the kernel).
-        sc = sc.reshape(2, hk, pad // block_k, block_k // NUM_LANES, NUM_LANES)
-        return kv, sc
+        sc = sc.astype(jnp.float32)
+        return kv, row_view(sc[0], pad), row_view(sc[1], pad)
 
-    kv1_r, sc1_r = prep(kv1, sc1.astype(jnp.float32), kv1_len)
-    kv2_r, sc2_r = prep(kv2, sc2.astype(jnp.float32), kv2_len)
+    kv1_r, sk1_r, sv1_r = prep(kv1, sc1, kv1_len)
+    kv2_r, sk2_r, sv2_r = prep(kv2, sc2, kv2_len)
 
     grid = (n_seg, hk, seg_pad // block_q)
     rows = q_per_kv * block_q
@@ -361,24 +450,25 @@ def segmented_attention_two_source_q8(
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     in_specs = [
         pl.BlockSpec((1, block_q, q_per_kv * hd), lambda s, g, qt, *_: (s, qt, g)),
-        hbm,
-        hbm,
-        hbm,
-        hbm,
+        hbm, hbm, hbm, hbm, hbm, hbm,
     ]
+    row_scr = pltpu.VMEM((2, block_k // NUM_LANES, NUM_LANES), jnp.float32)
     scratch_shapes = [
         pltpu.VMEM((2, block_k, hd), jnp.int8),      # k8 tiles
         pltpu.VMEM((2, block_k, hd), jnp.int8),      # v8 tiles
-        pltpu.VMEM((2, block_k // NUM_LANES, NUM_LANES), jnp.float32),  # k scales
-        pltpu.VMEM((2, block_k // NUM_LANES, NUM_LANES), jnp.float32),  # v scales
+        row_scr,                                     # k scales
+        row_scr,                                     # v scales
         pltpu.SemaphoreType.DMA((2, 4)),
         pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # m
         pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # l
         pltpu.VMEM((rows, hd), jnp.float32),         # acc
-        pltpu.VMEM((rows, hd), jnp.int8),            # q8
-        pltpu.VMEM((rows, NUM_LANES), jnp.float32),  # sq (x sm_scale*LOG2E)
+        pltpu.VMEM((rows, hd), jnp.bfloat16 if scheme == "dq" else jnp.int8),
     ]
-    operands = [q_r, kv1_r, sc1_r, kv2_r, sc2_r]
+    if scheme != "dq":
+        scratch_shapes.append(
+            pltpu.VMEM((rows, NUM_LANES), jnp.float32)  # sq (x sm_scale*LOG2E)
+        )
+    operands = [q_r, kv1_r, sk1_r, sv1_r, kv2_r, sk2_r, sv2_r]
     fused_rot, fused_norm, ln_eps = 0, False, 1e-6
     if q_prologue is not None:
         qln_w, qln_b, sin_q, cos_q, ln_eps = q_prologue
@@ -406,8 +496,8 @@ def segmented_attention_two_source_q8(
 
     kernel = functools.partial(
         _seg_attn_kernel_two_source_q8, sm_scale=sm_scale, block_k=block_k,
-        q_per_kv=q_per_kv, fused_rot=fused_rot, fused_norm=fused_norm,
-        ln_eps=float(ln_eps),
+        q_per_kv=q_per_kv, scheme=scheme, fused_rot=fused_rot,
+        fused_norm=fused_norm, ln_eps=float(ln_eps),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -437,10 +527,11 @@ def segmented_attention_two_source_q8(
 
 def segmented_attention_two_source_q8_reference(
     q, kv1, sc1, kv2, sc2, r1_start, r1_end, r2_start, r2_end, *,
-    seg_len, sm_scale=None,
+    seg_len, sm_scale=None, scheme=None,
 ):
     """Dequantize + bf16 reference: isolates the kernel's own error from
-    the kv-quantization error in tests."""
+    the kv-quantization error in tests.  `scheme` accepted (and ignored)
+    so call sites can thread it through either implementation."""
     dq1 = (kv1.astype(jnp.float32) * sc1[..., None]).astype(jnp.bfloat16)
     dq2 = (kv2.astype(jnp.float32) * sc2[..., None]).astype(jnp.bfloat16)
     return segmented_attention_two_source_reference(

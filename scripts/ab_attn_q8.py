@@ -5,6 +5,7 @@ kernel, at real model shapes.  One process, all variants batched
 Usage: python scripts/ab_attn_q8.py          (real TPU)
 """
 
+import functools
 import os
 import sys
 import time
@@ -70,28 +71,37 @@ def main():
                 q, kv1, kv2, a, b, c, d, seg_len=seg_len
             )
         )
-        f_q8 = jax.jit(
-            lambda q, kv1, s1, kv2, s2, a, b, c, d: segmented_attention_two_source_q8(
-                q, kv1, s1, kv2, s2, a, b, c, d, seg_len=seg_len
-            )
-        )
         try:
             dt_bf = time_fn(f_bf, q, kv1f, kv2f, r1s, r1e, r2s, r2e)
             out_bf = f_bf(q, kv1f, kv2f, r1s, r1e, r2s, r2e)
-            dt_q8 = time_fn(f_q8, q, kv1, sc1, kv2, sc2, r1s, r1e, r2s, r2e)
-            out_q8 = f_q8(q, kv1, sc1, kv2, sc2, r1s, r1e, r2s, r2e)
         except Exception as e:  # noqa: BLE001
-            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+            print(f"{name}: bf16 FAILED {type(e).__name__}: {e}", flush=True)
             continue
         a = np.asarray(out_bf, np.float32)
-        b = np.asarray(out_q8, np.float32)
-        rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
-        print(
-            f"{name}: bf16 {dt_bf*1e3:.2f} ms ({fl/dt_bf/1e12:.1f} TF/s)  "
-            f"int8 {dt_q8*1e3:.2f} ms ({fl/dt_q8/1e12:.1f} TF/s)  "
-            f"speedup {dt_bf/dt_q8:.2f}x  mean_rel_err {rel:.4f}",
-            flush=True,
-        )
+        line = f"{name}: bf16 {dt_bf*1e3:.2f} ms ({fl/dt_bf/1e12:.1f} TF/s)"
+        for scheme in ("sage", "qk8", "dq"):
+            f_q8 = jax.jit(
+                functools.partial(
+                    lambda q, kv1, s1, kv2, s2, a, b, c, d, scheme:
+                    segmented_attention_two_source_q8(
+                        q, kv1, s1, kv2, s2, a, b, c, d, seg_len=seg_len,
+                        scheme=scheme,
+                    ),
+                    scheme=scheme,
+                )
+            )
+            try:
+                dt_q8 = time_fn(f_q8, q, kv1, sc1, kv2, sc2, r1s, r1e, r2s, r2e)
+                out_q8 = f_q8(q, kv1, sc1, kv2, sc2, r1s, r1e, r2s, r2e)
+            except Exception as e:  # noqa: BLE001
+                line += f"  {scheme} FAILED {type(e).__name__}"
+                print(f"{name}/{scheme}: {e}", flush=True)
+                continue
+            b = np.asarray(out_q8, np.float32)
+            rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+            line += (f"  {scheme} {dt_q8*1e3:.2f}ms ({fl/dt_q8/1e12:.1f}TF/s "
+                     f"{dt_bf/dt_q8:.2f}x err {rel:.4f})")
+        print(line, flush=True)
 
 
 if __name__ == "__main__":

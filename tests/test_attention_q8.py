@@ -20,7 +20,7 @@ from magi_tpu.ops.attention_q8 import (
 
 
 def run(rng, n_seg, seg_len, kv1_len, kv2_len, hq, hk, hd, r1, r2,
-        block=128, q_prologue=None, q=None):
+        block=128, q_prologue=None, q=None, scheme=None):
     S = n_seg * seg_len
     if q is None:
         q = jnp.asarray(rng.standard_normal((S, hq, hd)), jnp.bfloat16)
@@ -35,6 +35,7 @@ def run(rng, n_seg, seg_len, kv1_len, kv2_len, hq, hk, hd, r1, r2,
     got = segmented_attention_two_source_q8(
         q, kv1, sc1, kv2, sc2, r1s, r1e, r2s, r2e, seg_len=seg_len,
         interpret=True, block_q=block, block_k=block, q_prologue=q_prologue,
+        scheme=scheme,
     )
     want = segmented_attention_two_source_q8_reference(
         q if q_prologue is None else _apply_prologue(q, q_prologue),
@@ -73,33 +74,37 @@ def check(got, want, full, tol=0.04):
     assert rel_full < 2 * tol, f"vs-full mean rel err {rel_full}"
 
 
-def test_basic_two_source(rng):
+@pytest.mark.parametrize("scheme", ["sage", "qk8", "dq"])
+def test_basic_two_source(rng, scheme):
     got, want, full = run(
         rng, 3, 128, 256, 384, 4, 2, 128,
         r1=[(0, 256), (0, 200), (100, 100)],   # incl. empty cache range
-        r2=[(0, 128), (0, 256), (0, 384)],
+        r2=[(0, 128), (0, 256), (0, 384)], scheme=scheme,
     )
     check(got, want, full)
 
 
-def test_empty_ranges_mid_tile(rng):
+@pytest.mark.parametrize("scheme", ["sage", "qk8", "dq"])
+def test_empty_ranges_mid_tile(rng, scheme):
     # fully-masked-tile regression (p must be zeroed, not uniform)
     got, want, full = run(
         rng, 2, 128, 256, 256, 4, 2, 128,
-        r1=[(200, 200), (0, 256)], r2=[(0, 256), (70, 70)],
+        r1=[(200, 200), (0, 256)], r2=[(0, 256), (70, 70)], scheme=scheme,
     )
     check(got, want, full)
 
 
-def test_gqa_fold(rng):
+@pytest.mark.parametrize("scheme", ["sage", "qk8", "dq"])
+def test_gqa_fold(rng, scheme):
     got, want, full = run(
         rng, 2, 128, 256, 256, 8, 2, 128,
-        r1=[(0, 256), (64, 192)], r2=[(0, 128), (0, 256)],
+        r1=[(0, 256), (64, 192)], r2=[(0, 128), (0, 256)], scheme=scheme,
     )
     check(got, want, full)
 
 
-def test_fused_q_prologue(rng):
+@pytest.mark.parametrize("scheme", ["sage", "qk8", "dq"])
+def test_fused_q_prologue(rng, scheme):
     hd, rot, S = 128, 32, 2 * 128
     w = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
     b = jnp.asarray(rng.standard_normal(hd) * 0.05, jnp.float32)
@@ -108,7 +113,7 @@ def test_fused_q_prologue(rng):
     got, want, full = run(
         rng, 2, 128, 256, 256, 4, 2, hd,
         r1=[(0, 256), (0, 128)], r2=[(0, 128), (0, 256)],
-        q_prologue=pro,
+        q_prologue=pro, scheme=scheme,
     )
     check(got, want, full)
 
@@ -187,7 +192,8 @@ def test_int8_stored_cache_equals_per_forward_quantize(monkeypatch):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
-def test_norm_only_prologue(rng):
+@pytest.mark.parametrize("scheme", ["sage", "qk8", "dq"])
+def test_norm_only_prologue(rng, scheme):
     """fused_norm WITHOUT rope (the cross-attention prologue shape)."""
     hd, S = 128, 2 * 128
     w = jnp.asarray(rng.standard_normal(hd) * 0.1 + 1.0, jnp.float32)
@@ -196,7 +202,7 @@ def test_norm_only_prologue(rng):
     got, want, full = run(
         rng, 2, 128, 256, 256, 4, 2, hd,
         r1=[(0, 256), (0, 128)], r2=[(0, 128), (0, 256)],
-        q_prologue=pro,
+        q_prologue=pro, scheme=scheme,
     )
     check(got, want, full)
 
