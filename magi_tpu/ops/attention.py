@@ -270,7 +270,7 @@ def segmented_attention(
 
 
 def _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, *, q_per_kv: int,
-                rot: int, ln_eps: float, fused_norm: bool):
+                rot: int, ln_eps: float, fused_norm: bool, scale: float = 1.0):
     """Stage the GQA group's q heads from the TOKEN-MAJOR input block
     `q_ref` [1, block_q, q_per_kv*hd] into `q_scr` [q_per_kv*block_q, hd]
     (group-major rows, the matmul layout), optionally applying the fused
@@ -282,7 +282,13 @@ def _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, *, q_per_kv: int
     [S,hq,hd]<->[n_seg,hk,q_per_kv,seg,hd] relayout copies XLA emitted at
     the attention boundary (~4-5% of a denoise step, docs/perf_notes.md)
     are replaced by q_per_kv static 128-aligned lane-slice copies here —
-    VMEM-local, no rank-3 transpose (which Mosaic lowers poorly)."""
+    VMEM-local, no rank-3 transpose (which Mosaic lowers poorly).
+
+    `scale`: multiplier folded into q so the kernel's score tiles need no
+    per-tile `s *= sm_scale*LOG2E` pass (one [rows, hd] multiply here vs
+    a [rows, block_k] f32 pass per kv tile).  In fused_norm mode callers
+    fold it into qw/qb in the WRAPPER instead (free: [hd] constants;
+    rotary is a rotation, so scaling commutes) and pass scale=1."""
     block_q = q_ref.shape[1]
     hd = q_ref.shape[2] // q_per_kv
     if fused_norm:
@@ -306,6 +312,8 @@ def _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, *, q_per_kv: int
                     [x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1
                 )
             qj = qn
+        elif scale != 1.0:
+            qj = qj.astype(jnp.float32) * scale
         q_scr[j * block_q : (j + 1) * block_q, :] = qj.astype(q_scr.dtype)
 
 
@@ -382,9 +390,12 @@ def _seg_attn_kernel_v2(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    # sm_scale*LOG2E is pre-folded into q (into qw/qb by the wrapper in
+    # fused_norm mode): the score tiles need no per-tile scale pass.
     _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
                 q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
-                fused_norm=fused_norm)
+                fused_norm=fused_norm,
+                scale=1.0 if fused_norm else sm_scale * LOG2E)
 
     def dma(slot, tile):
         off = pl.multiple_of(tile * block_k, block_k)
@@ -403,7 +414,6 @@ def _seg_attn_kernel_v2(
             q = q_scr[...]
             k = k_buf[slot]
             s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            s *= sm_scale * LOG2E  # exp2-domain softmax
             if masked:
                 col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
                 valid = jnp.logical_and(col >= start, col < end)
@@ -542,9 +552,11 @@ def segmented_attention_v2(
     if q_prologue is not None:
         qln_w, qln_b, sin_q, cos_q, ln_eps = q_prologue
         fused_norm = True
+        # fold sm_scale*LOG2E into the q-norm affine (rotary is a rotation,
+        # so scaling commutes): removes the kernel's per-tile score scale
         operands += [
-            qln_w.astype(jnp.float32).reshape(1, hd),
-            qln_b.astype(jnp.float32).reshape(1, hd),
+            qln_w.astype(jnp.float32).reshape(1, hd) * (sm_scale * LOG2E),
+            qln_b.astype(jnp.float32).reshape(1, hd) * (sm_scale * LOG2E),
         ]
         in_specs += [
             pl.BlockSpec((1, hd), lambda s, g, qt, *_: (0, 0)),
@@ -748,9 +760,12 @@ def _seg_attn_kernel_two_source(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    # sm_scale*LOG2E pre-folded into q (into qw/qb by the wrapper when the
+    # norm prologue is fused): no per-tile score-scale pass below.
     _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
                 q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
-                fused_norm=bool(fused_rot))
+                fused_norm=bool(fused_rot),
+                scale=1.0 if fused_rot else sm_scale * LOG2E)
 
     def phase(src_hbm, start, end):
         lo = start // block_k
@@ -768,7 +783,6 @@ def _seg_attn_kernel_two_source(
             q = q_scr[...]
             k = k_buf[slot]
             s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            s *= sm_scale * LOG2E  # exp2-domain softmax
             if masked:
                 col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
                 valid = jnp.logical_and(col >= start, col < end)
@@ -925,9 +939,10 @@ def segmented_attention_two_source(
             if seg_pad != seg_len:
                 t = jnp.pad(t, ((0, 0), (0, seg_pad - seg_len), (0, 0)))
             sincos.append(t)
+        # fold sm_scale*LOG2E into the q-norm affine (see the v2 wrapper)
         operands += [
-            qln_w.astype(jnp.float32).reshape(1, hd),
-            qln_b.astype(jnp.float32).reshape(1, hd),
+            qln_w.astype(jnp.float32).reshape(1, hd) * (sm_scale * LOG2E),
+            qln_b.astype(jnp.float32).reshape(1, hd) * (sm_scale * LOG2E),
             *sincos,
         ]
         in_specs += [
