@@ -26,6 +26,87 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _attended_pairs(rc, kv_start, kv_end, n_den: int, ctn: int) -> int:
+    """Self-attention token-pair count of one denoise step (model-level):
+    every segment token attends its [kv_start, kv_end) range, in each of
+    the two conditioned CFG forwards; the unconditional branch is
+    self-only per denoising chunk.  Cross-attention pairs are tokens x
+    caption_len — proportional to tokens, so they belong to the LINEAR
+    regressor of the fit, not this one."""
+    import numpy as np
+
+    rng_sum = int(np.sum((np.asarray(kv_end, np.int64) - np.asarray(kv_start, np.int64))))
+    cond_forwards = 2 if rc.cfg_number == 3 else 1
+    pairs = cond_forwards * ctn * rng_sum
+    if rc.cfg_number == 3:
+        pairs += n_den * ctn * ctn  # uncond: each chunk attends itself
+    return int(pairs)
+
+
+def _attn_flops_per_pair() -> float:
+    """Model-level FLOPs per attended token pair at 24B: 4 (two matmuls x
+    2 FLOPs/MAC) x 6144 (hq*hd) x 48 layers."""
+    return 4.0 * 6144.0 * 48.0
+
+
+def _project_720p(rc, coeffs) -> dict:
+    """Evaluate the fitted step-time model at the reference-default 24B
+    720x1280 schedule (32 steps, window 4, ref:
+    example/24B/24B_base_config.json:58-77): per-chunk denoise latency =
+    the sum of one full stage's dpss=8 steps, each with the EXACT kv
+    ranges the scheduler produces at steady state (mid-walk stage)."""
+    import numpy as np
+
+    import magi_tpu.sampling.schedule as sched
+    from magi_tpu.sampling import kv_ranges as kvr
+
+    a, b, c = coeffs
+    ctn = 21600  # 6 * (720/8/2) * (1280/8/2)
+    nsteps, window, cnum = 32, 4, 8
+    dpss = nsteps // window
+    cs_s, ce_s, ts_s, te_s = sched.generate_sequences(cnum, window, 0)
+    stage = next(
+        i for i in range(len(cs_s))
+        if ce_s[i] - cs_s[i] == window and cs_s[i] >= 2
+    )
+    c_start, c_end = int(cs_s[stage]), int(ce_s[stage])
+    t_start, t_end = ts_s[stage], te_s[stage]
+    # The fitted per-pair coefficient carries the attention kernel's
+    # efficiency at the SMALL measured shapes; at real 720p-w4 shapes the
+    # kernel measured 151.5 TF/s (scripts/ab_attn_q8.py / README 24B-720p
+    # row), i.e. ~7.8e-9 s/pair.  Report both: the fit value is the
+    # conservative upper bound, the kernel-calibrated value assumes the
+    # big-shape efficiency holds for the whole attention term.
+    c_kernel = _attn_flops_per_pair() / 151.5e12
+    total = {"fit": 0.0, "kernel_calibrated": 0.0}
+    per_step = []
+    for didx in range(dpss):
+        n_den = c_end - c_start
+        extra = bool(c_start > 0 and didx == 0)
+        sp = c_start - int(extra)
+        n_seg = n_den + int(extra)
+        soc = sched.denoise_step_of_each_chunk(
+            dpss, t_start, t_end, didx, num_steps=nsteps if extra else None
+        )
+        kv_s, kv_e = kvr.denoising_kvrange(rc, sp, n_seg, soc, nsteps, ctn)
+        tokens = n_seg * ctn
+        pairs = _attended_pairs(rc, kv_s, kv_e, n_den, ctn)
+        t_fit = a + b * tokens + c * pairs
+        t_cal = a + b * tokens + c_kernel * pairs
+        per_step.append([round(float(t_fit), 1), round(float(t_cal), 1)])
+        total["fit"] += t_fit
+        total["kernel_calibrated"] += t_cal
+    return {
+        "sec_per_step_720p_w4_[fit,kernel_calibrated]": per_step,
+        "per_chunk_denoise_latency_720p_est_s": {
+            k: round(float(v), 1) for k, v in total.items()
+        },
+        "model_coeffs": {"overhead_s": round(float(a), 3),
+                         "per_token_s": float(b), "per_attn_pair_s": float(c),
+                         "per_attn_pair_s_kernel_at_720p_shape": float(c_kernel)},
+    }
+
+
 def main() -> None:
     import jax
 
@@ -58,8 +139,8 @@ def main() -> None:
         "MAGI_24B_SIZES", "384,480" if on_tpu else "64").split(",")]
     steps = int(os.environ.get("MAGI_24B_STEPS", "16" if on_tpu else "4"))
     edge_bf16 = os.environ.get("MAGI_24B_EDGE_BF16", "0") == "1"
-    chunk_num = 2
-    window = 2
+    chunk_num = int(os.environ.get("MAGI_24B_CHUNKS", "2"))
+    window = int(os.environ.get("MAGI_24B_WINDOW", "2"))
     L = mc.caption_max_length
 
     t0 = time.time()
@@ -100,22 +181,40 @@ def main() -> None:
         sync()
         times = []
         tok_steps = []
+        pair_steps = []
         emitted = 0
         for step in range(sampler.total_forward_steps()):
-            tok_steps.append(sampler._plan(step)["n_seg"] * ctn)
+            p = sampler._plan(step)
+            tok_steps.append(p["n_seg"] * ctn)
+            pair_steps.append(_attended_pairs(rc, p["kv_start"], p["kv_end"],
+                                              p["n_den"], ctn))
             t1 = time.perf_counter()
             if sampler.do_step(step) is not None:
                 emitted += 1
             sync()
             times.append(time.perf_counter() - t1)
         total = sum(times)
+        # per-window-width medians: the projection fits PER-STEP
+        # (tokens, sec) pairs, not walk averages — a walk mixes w1..w4
+        # ramp steps, and the 720p north-star is a pure w4 step
+        by_tok = {}
+        for tk, tm in zip(tok_steps, times):
+            by_tok.setdefault(tk, []).append(tm)
+        per_width = {
+            str(tk): [round(float(np.median(v)), 3), len(v)]
+            for tk, v in sorted(by_tok.items())
+        }
         results.append({
             "size": size, "tokens_per_chunk": ctn, "forward_steps": len(times),
             "chunks": emitted, "sec_per_step": round(total / len(times), 3),
             "avg_tokens_per_step": int(np.mean(tok_steps)),
+            "per_width_median_sec": per_width,
+            "step_points": [[int(tk), int(pr), round(float(tm), 3)]
+                            for tk, pr, tm in zip(tok_steps, pair_steps, times)],
             "wall_s": round(total, 1), "variants_warmed": n_var,
         })
-        print(json.dumps(results[-1]), file=sys.stderr)
+        print(json.dumps({k: v for k, v in results[-1].items() if k != "step_points"}),
+              file=sys.stderr)
         del sampler
 
     # 720x1280 projection (north-star #2).  Reference default: 720x1280,
@@ -124,21 +223,33 @@ def main() -> None:
     # every num_steps/window = 8 steps.  Fit sec_per_step = a + b*tokens
     # over the measured points (matmul cost is linear in tokens at these
     # shapes; attention's quadratic term makes this a mild underestimate).
+    # 720p projection: a PHYSICAL step-time model fit on per-step data —
+    # time = overhead + b*(tokens) + c*(attended token pairs).  A plain
+    # tokens-only fit from small sizes badly UNDERSTATES 720p: attention
+    # pairs grow ~quadratically (4x21600-token window-4 steps are ~2.4e10
+    # pairs ~ 24 PFLOP of attention at 24B), while at the measurable sizes
+    # attention is a minor term — the earlier rounds' linear-fit numbers
+    # (432-553 s/chunk) were artifacts of that, not achievable latencies.
     proj = None
-    if len(results) >= 2:
-        xs_ = np.array([r["avg_tokens_per_step"] for r in results], np.float64)
-        ys_ = np.array([r["sec_per_step"] for r in results], np.float64)
-        b, a = np.polyfit(xs_, ys_, 1)
-        step_720p = a + b * (4 * 21600)
-        per_chunk_720p = (32 / 4) * step_720p
-        proj = {
-            "sec_per_step_720p_w4_est": round(float(step_720p), 2),
-            "per_chunk_denoise_latency_720p_est_s": round(float(per_chunk_720p), 1),
-            "method": "linear fit of sec_per_step vs avg tokens/step over the "
-                      "measured sizes, evaluated at 4x21600 tokens (full window-4 "
-                      "720p step); chunk cadence 8 steps/chunk (32-step window-4 "
-                      "default); attention's quadratic term -> mild underestimate",
-        }
+    pts = [p for r in results for p in r["step_points"]]
+    if len({(p[0], p[1]) for p in pts}) >= 3:
+        A = np.array([[1.0, p[0], p[1]] for p in pts], np.float64)
+        y = np.array([p[2] for p in pts], np.float64)
+        # scale columns for conditioning
+        col = A.max(axis=0)
+        coeffs = np.linalg.lstsq(A / col, y, rcond=None)[0] / col
+        resid = y - A @ coeffs
+        proj = _project_720p(rc, coeffs)
+        proj["n_step_points"] = len(pts)
+        proj["fit_rms_resid_s"] = round(float(np.sqrt(np.mean(resid ** 2))), 3)
+        proj["method"] = (
+            "3-term LSQ (overhead + per-token + per-attended-pair) over "
+            "per-step measurements, evaluated on the exact kv ranges of the "
+            "reference-default 720p 32-step window-4 schedule (one full "
+            "stage = 8 steps = one chunk)"
+        )
+        if coeffs[2] <= 0:
+            proj["warning"] = "per-pair coefficient <= 0 (collinear fit) — projection unreliable"
 
     print(json.dumps({
         "metric": "24B w4a8 single-chip ARDF walk (int4 weights + sliding KV)",

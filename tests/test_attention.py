@@ -185,3 +185,65 @@ def test_v2_empty_range_mid_tile(rng):
     want = segmented_attention_reference(q, k, v, s, e, seg_len=ctn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(got[ctn : 2 * ctn]), 0.0)
+
+
+def test_explicit_sm_scale_fold(rng):
+    """Non-default sm_scale through all three paths of the fold (commit
+    021be62): v2 raw-q (scale applied in the prologue staging), v2
+    fused-norm (scale folded into the qw/qb operands by the wrapper), and
+    two-source fused-rope.  Pins that the fold carries the CALLER's
+    sm_scale, not just the hd**-0.5 default."""
+    from magi_tpu.models.dit.model import layer_norm
+    from magi_tpu.ops.attention import (
+        segmented_attention_reference,
+        segmented_attention_two_source,
+        segmented_attention_two_source_reference,
+        segmented_attention_v2,
+    )
+
+    n_seg, ctn, kv_len, hq, hk, hd = 2, 128, 256, 4, 2, 128
+    sm = 0.5  # != hd**-0.5
+    q, k, v = make_qkv(rng, n_seg, ctn, kv_len, hq, hk, hd)
+    ks = jnp.asarray([0, 64], jnp.int32)
+    ke = jnp.asarray([200, 256], jnp.int32)
+
+    got = segmented_attention_v2(q, k, v, ks, ke, seg_len=ctn, sm_scale=sm,
+                                 interpret=True, block_q=128, block_k=128)
+    want = segmented_attention_reference(q, k, v, ks, ke, seg_len=ctn, sm_scale=sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    # fused-norm (wrapper folds sm into qw/qb)
+    w = jnp.asarray(rng.normal(size=(hd,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(hd,)) * 0.1, jnp.float32)
+    qn = layer_norm(q, {"weight": w, "bias": b}, 1e-6, compute_dtype=jnp.float32)
+    got2 = segmented_attention_v2(q, k, v, ks, ke, seg_len=ctn, sm_scale=sm,
+                                  interpret=True, block_q=128, block_k=128,
+                                  q_prologue=(w, b, None, None, 1e-6))
+    want2 = segmented_attention_reference(qn, k, v, ks, ke, seg_len=ctn, sm_scale=sm)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-5, rtol=2e-5)
+
+    # two-source with fused norm+rope
+    from magi_tpu.models.dit.rope import apply_rotary
+
+    rot = 48
+    sin = jnp.asarray(rng.normal(size=(n_seg * ctn, rot)), jnp.float32)
+    cos = jnp.asarray(rng.normal(size=(n_seg * ctn, rot)), jnp.float32)
+    kv1 = jnp.asarray(rng.normal(size=(2, hk, 256, hd)), jnp.float32)
+    kv2 = jnp.asarray(rng.normal(size=(2, hk, 256, hd)), jnp.float32)
+    r1s = jnp.asarray([0, 100], jnp.int32)
+    r1e = jnp.asarray([200, 100], jnp.int32)  # seg 1: empty cache range
+    r2s = jnp.asarray([0, 0], jnp.int32)
+    r2e = jnp.asarray([128, 256], jnp.int32)
+    qnr = apply_rotary(qn, sin, cos)
+    got3 = segmented_attention_two_source(
+        q, kv1, kv2, r1s, r1e, r2s, r2e, seg_len=ctn, sm_scale=sm,
+        interpret=True, block_q=128, block_k=128,
+        q_prologue=(w, b, sin, cos, 1e-6),
+    )
+    want3 = segmented_attention_two_source_reference(
+        qnr, kv1, kv2, r1s, r1e, r2s, r2e, seg_len=ctn, sm_scale=sm,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got3, np.float32), np.asarray(want3, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
