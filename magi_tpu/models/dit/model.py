@@ -58,7 +58,7 @@ def _attn_int8() -> bool:
     """BEYOND-PARITY option (`MAGI_ATTN_INT8=1`): int8-quantized attention
     (ops/attention_q8) — kv stored int8 with per-token scales (cache HBM
     and kv DMA bytes halve), consumed by one of three in-kernel schemes
-    selected by `MAGI_ATTN_Q8_SCHEME` (default "dq"; see
+    selected by `MAGI_ATTN_Q8_SCHEME` (default "qk8"; see
     ops/attention_q8 + docs/perf_notes.md for the chip A/B).  The
     reference keeps attention bf16 (dit_module.py:431-487)."""
     return os.environ.get("MAGI_ATTN_INT8", "0") == "1"
@@ -394,7 +394,20 @@ def _dot(x, w, high_precision: bool = False):
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = "col"):
+def _apply_pre(x, pre, eps):
+    """The unfused producer op for a linear group's input: None, an
+    ("ln", params) shared pre-layernorm, or ("swiglu",) on an fc1 output."""
+    if pre is None:
+        return x
+    if pre[0] == "ln":
+        return layer_norm(x, pre[1], eps)
+    assert pre[0] == "swiglu"
+    d = x.shape[-1] // 2
+    return jax.nn.silu(x[..., :d].astype(jnp.float32)).astype(x.dtype) * x[..., d:]
+
+
+def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = "col",
+                    pre=None, eps: float = 1e-6):
     """Apply several linears to one shared input — the single dispatch path
     for every DiT linear: bf16 `weight`, or int8 `weight_q` + per-channel
     `weight_scale` (the quantized execution path — TPU-native analog of the
@@ -430,7 +443,16 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
     `weight_q4` params (nibble-packed int4, quantize_params_int4) unpack
     one layer to int8 in-scan and then ride the same int8 path — the
     unpack is an XLA-fused shift/mask whose traffic is negligible next to
-    the matmul's."""
+    the matmul's.
+
+    `pre` (None | ("ln", params) | ("swiglu",)) is the producer op of this
+    group's input.  Passing it here (instead of applying it at the call
+    site) lets the single-chip int8 path fuse producer + row-max + int8
+    cast into ONE Pallas pass (`ops/act_quant.rowquant_fused`) — in plain
+    XLA the act-quant row-max is a reduce that cannot fuse with its
+    consumer, so the intermediate activation round-trips HBM (~10% of an
+    int8 step at the 12288-wide SwiGLU site, docs/perf_notes.md).  Every
+    other path applies `pre` unfused — identical math."""
     if "weight_q4" in plist[0]:
         from magi_tpu.ops.quant import unpack_int4
 
@@ -439,6 +461,7 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
             for pp in plist
         ]
     if "weight_q" not in plist[0]:
+        x = _apply_pre(x, pre, eps)
         return tuple(_dot(x, pp["weight"], high_precision) for pp in plist)
 
     from magi_tpu.ops.quant import (
@@ -468,6 +491,10 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
     from magi_tpu.parallel import mesh as mesh_lib
 
     if not mesh_lib.model_parallel_trivial():
+        # mesh paths keep the unfused producer (a Pallas call is opaque to
+        # the SPMD partitioner — same gating as the epilogue kernel)
+        x = _apply_pre(x, pre, eps)
+        pre = None
         mesh = mesh_lib.get_mesh()
         from jax.sharding import PartitionSpec as P
 
@@ -553,15 +580,50 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
             return i8_mesh_branch(x) if act_ok else deq_branch(x)
         return lax.cond(act_ok, i8_mesh_branch, deq_branch, x)
 
+    # fused producer + row-quant (single chip, static act_ok only: the
+    # fused and unfused branches of a traced lax.cond would need operands
+    # of the same shape, and pre changes the input's width for swiglu).
+    # OFF by default: chip-measured SLOWER than the unfused XLA chain at
+    # every site (0.58-0.71x, scripts/check_act_quant_chip.py) — the 16MB
+    # kernel-stack cap forces small row blocks and XLA's reduce+quant
+    # fusions are already near the traffic floor.  Kept as an opt-in
+    # experiment (docs/perf_notes.md "fused act-quant: tried, DROPPED").
+    import os as _os2
+
+    fuse_pre = (
+        _os2.environ.get("MAGI_FUSED_ACT_QUANT", "0") == "1"
+        and use_pallas
+        and isinstance(act_ok, bool)
+        and (
+            pre is None and x.shape[1] % 128 == 0
+            or pre is not None and pre[0] == "ln" and x.shape[1] % 128 == 0
+            or pre is not None and pre[0] == "swiglu" and (x.shape[1] // 2) % 2048 == 0
+        )
+    )
+
     def i8_branch(xx):
-        xq, rs = act_quant_rowwise(xx)
+        if fuse_pre:
+            from magi_tpu.ops.act_quant import rowquant_fused
+
+            mode = pre[0] if pre is not None else "plain"
+            lnp = pre[1] if mode == "ln" else None
+            xq, rs = rowquant_fused(
+                xx, mode,
+                None if lnp is None else lnp["weight"],
+                None if lnp is None else lnp["bias"],
+                eps=eps,
+            )
+        else:
+            xq, rs = act_quant_rowwise(_apply_pre(xx, pre, eps))
         return tuple(
             qmm_i8(xq, rs, pp["weight_q"], pp["weight_scale"], out_dtype=xx.dtype)
             for pp in plist
         )
 
     if isinstance(act_ok, bool):
-        return i8_branch(x) if act_ok else deq_branch(x)
+        return i8_branch(x) if act_ok else deq_branch(_apply_pre(x, pre, eps))
+    x = _apply_pre(x, pre, eps)
+    pre = None
     return lax.cond(act_ok, i8_branch, deq_branch, x)
 
 
@@ -643,13 +705,14 @@ def attention_forward(
     zc = cfg.apply_layernorm_1p
     n_seg, ctn = meta.n_segments, meta.seg_len
 
-    mixed = layer_norm(x, p["linear_qkv"]["layer_norm"], eps)  # shared pre-LN, plain LN
-
-    # q/qx/k/v share `mixed`: one activation quantization covers all four
+    # q/qx/k/v share the pre-LN output: one activation quantization covers
+    # all four; the LN rides into the group as `pre` so the int8 path can
+    # fuse LN + row-max + int8 cast into one Pallas pass
     q, qx, k, v = _linears_shared(
-        mixed,
+        x,
         [p["linear_qkv"]["q"], p["linear_qkv"]["qx"], p["linear_qkv"]["k"], p["linear_qkv"]["v"]],
         act_quant_ok,
+        pre=("ln", p["linear_qkv"]["layer_norm"]), eps=eps,
     )
 
     # --- self-attn q/k/v with fp32 QK-norm + rope (ref: dit_module.py:953-1003) ---
@@ -819,14 +882,20 @@ def layer_forward(
     x = _bias_modulate_add(attn_out, residual, gate_msa, p["self_attn_post_norm"], eps, zc, meta.n_segments)
 
     residual = x
-    h = layer_norm(x, p["mlp"]["layer_norm"], eps)  # plain LN
-    (h,) = _linears_shared(h, [p["mlp"]["linear_fc1"]], act_quant_ok)
+    # LN and SwiGLU ride into their consumer linears as `pre` (fused with
+    # the int8 act-quant on the single-chip quantized path)
+    (h,) = _linears_shared(
+        x, [p["mlp"]["linear_fc1"]], act_quant_ok,
+        pre=("ln", p["mlp"]["layer_norm"]), eps=eps,
+    )
     if cfg.gated_linear_unit:
-        d = h.shape[-1] // 2
-        h = jax.nn.silu(h[..., :d].astype(jnp.float32)).astype(h.dtype) * h[..., d:]
+        (h,) = _linears_shared(
+            h, [p["mlp"]["linear_fc2"]], act_quant_ok, kind="row",
+            pre=("swiglu",), eps=eps,
+        )
     else:
         h = jax.nn.gelu(h, approximate=False)
-    (h,) = _linears_shared(h, [p["mlp"]["linear_fc2"]], act_quant_ok, kind="row")
+        (h,) = _linears_shared(h, [p["mlp"]["linear_fc2"]], act_quant_ok, kind="row")
     x = _bias_modulate_add(h, residual, gate_mlp, p["mlp_post_norm"], eps, zc, meta.n_segments)
     x = constraint(x, SEQ_AXES, None)
     return x, new_cache_l
