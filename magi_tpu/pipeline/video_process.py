@@ -165,7 +165,8 @@ def get_vae(vae_ckpt: str, z_chans: int = 16):
             video_size=256, video_length=16, patch_size=8, patch_length=4,
             in_chans=3, z_chans=z_chans, embed_dim=1024, depth=16, num_heads=16,
         )
-        vae = ViTVAE(cfg, init_vae_params(cfg, seed=0))
+        # bf16 like the real loader (ref: vae.bfloat16(), video_process.py:68)
+        vae = ViTVAE(cfg, init_vae_params(cfg, seed=0, dtype=jnp.bfloat16))
         _vae_cache[vae_ckpt] = vae
         return vae
     vae = load_vae(vae_ckpt)
