@@ -135,7 +135,15 @@ def main() -> None:
         mc.num_attention_heads, mc.num_query_groups, mc.kv_channels = 4, 2, 64
         mc.caption_max_length = 64
 
-    sizes = [int(s) for s in os.environ.get(
+    # each entry is "S" (square SxS) or "HxW" (e.g. "720x1280", the
+    # reference-default 24B frame, 24B_base_config.json:60-61)
+    def _parse_size(s: str):
+        if "x" in s:
+            h, w = s.split("x")
+            return int(h), int(w)
+        return int(s), int(s)
+
+    sizes = [_parse_size(s) for s in os.environ.get(
         "MAGI_24B_SIZES", "384,480" if on_tpu else "64").split(",")]
     steps = int(os.environ.get("MAGI_24B_STEPS", "16" if on_tpu else "4"))
     edge_bf16 = os.environ.get("MAGI_24B_EDGE_BF16", "0") == "1"
@@ -155,10 +163,11 @@ def main() -> None:
 
     results = []
     rng = np.random.default_rng(0)
-    for size in sizes:
-        rc.video_size_h = rc.video_size_w = size
+    for size_h, size_w in sizes:
+        size = f"{size_h}x{size_w}" if size_h != size_w else size_h
+        rc.video_size_h, rc.video_size_w = size_h, size_w
         rc.num_steps, rc.window_size = steps, window
-        H = W = size // 8
+        H, W = size_h // 8, size_w // 8
         ctn = (rc.chunk_width // mc.t_patch_size) * (H // mc.patch_size) * (W // mc.patch_size)
         inp = InferenceInput(
             caption_embs=jnp.asarray(
