@@ -38,10 +38,13 @@ def categorize(name: str) -> str:
         return "pallas_qmm"
     if n.startswith("%copy") or ".copy" in n or "copy-start" in n or "copy." in n:
         return "copy"
+    # matmuls fused with an output convert are named e.g.
+    # %convolution_convert_fusion — classify by the dominant op (the dot),
+    # not the epilogue, or fc2 shows up as "convert" (round-3 docs bug)
+    if "convolution" in n or n.startswith("%dot") or "dot." in n or n.startswith("dot"):
+        return "dot"
     if "convert" in n:
         return "convert"
-    if n.startswith("%dot") or "dot." in n or n.startswith("dot"):
-        return "dot"
     if "custom-call" in n or "custom_call" in n:
         return "custom_call"
     if "fusion" in n:
