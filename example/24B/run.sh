@@ -3,6 +3,8 @@
 # No torchrun: one process drives the whole mesh; cp/tp sizes come from
 # engine_config in the JSON (cp4 Ulysses by default).
 set -e
+# VARIANT=distill or VARIANT=distill_quant selects the distilled /
+# distilled+quantized (fp8_quant -> int8-on-MXU) example configs.
 cd "$(dirname "$0")/../.."
 
 export PAD_HQ=true
@@ -13,8 +15,10 @@ MODE=${1:-t2v}
 PROMPT=${2:-"Good Boy"}
 OUTPUT=${3:-output_24B.mp4}
 
+CONFIG=${CONFIG:-example/24B/24B_${VARIANT:-base}_config.json}
+
 python -m magi_tpu.pipeline.entry \
-    --config_file example/24B/24B_base_config.json \
+    --config_file "$CONFIG" \
     --mode "$MODE" \
     --prompt "$PROMPT" \
     --output_path "$OUTPUT"

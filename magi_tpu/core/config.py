@@ -108,7 +108,11 @@ class RuntimeConfig:
 
     # Checkpoints
     t5_pretrained: str = None
-    t5_device: str = "cpu"  # host by default on TPU systems
+    # "auto" resolves at T5 build time: accelerator when one is present
+    # (staged per-encode — params never hold HBM during the walk; seconds
+    # per prompt vs 220 s measured on this host's CPU, docs/perf_notes.md),
+    # host CPU otherwise.  "cpu"/"cuda"/"tpu" force it (ref: config.py:80).
+    t5_device: str = "auto"
     vae_pretrained: str = None
     scale_factor: float = 0.18215
     temporal_downsample_factor: int = 4

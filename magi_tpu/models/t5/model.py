@@ -264,6 +264,10 @@ class T5Embedder:
         self.tokenizer = AutoTokenizer.from_pretrained(cache_dir)
         self.model_max_length = model_max_length
         self.use_text_preprocessing = use_text_preprocessing
+        if device == "auto":
+            # staged accelerator encode when a TPU/GPU backend is live,
+            # host CPU otherwise (config.runtime_config.t5_device docs)
+            device = "cpu" if jax.default_backend() == "cpu" else "tpu"
 
         with open(os.path.join(cache_dir, "config.json")) as f:
             self.config = T5Config.from_hf_config(json.load(f))

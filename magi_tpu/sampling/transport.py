@@ -108,8 +108,14 @@ def _config_key(config: MagiConfig) -> str:
             dataclasses.asdict(config.runtime_config),
             dataclasses.asdict(config.engine_config),
             # trace-time switches that change the compiled step but live
-            # outside the config dataclasses
+            # outside the config dataclasses — EVERY env var read during
+            # tracing must appear here, or flipping it between samplers in
+            # one process silently reuses a stale compiled step.
             os.environ.get("MAGI_ATTN_INT8", "0"),
+            os.environ.get("MAGI_ATTN_INT8_STORE", "1"),
+            os.environ.get("MAGI_ATTN_Q8_SCHEME", "qk8"),
+            os.environ.get("MAGI_QMM_IMPL", "xla"),
+            os.environ.get("MAGI_FUSED_ACT_QUANT", "0"),
         )
     )
 

@@ -45,32 +45,53 @@ class EngineGate:
     threads: each generation spawns a fresh engine subprocess, and two of
     those fighting over one chip wedge BOTH (the one-TPU-process-at-a-time
     operating rule).  The reference service has the same flaw unfixed.
-    Requests queue FIFO behind the running one up to `max_queue` in-flight
-    total; beyond that the request is rejected 429 with its would-be queue
-    position so clients can back off."""
+    Requests queue strictly FIFO behind the running one (ticket numbers +
+    a Condition — a bare threading.Lock would NOT guarantee wake-up order)
+    up to `max_queue` in-flight total; beyond that the request is rejected
+    429 with the exact in-flight count so clients can back off."""
 
     def __init__(self, max_queue: int):
-        self._run_lock = threading.Lock()
-        self._state = threading.Lock()
-        self._in_flight = 0
+        self._cond = threading.Condition()
+        self._next_ticket = 0  # next ticket to hand out
+        self._serving = 0  # ticket currently allowed to run
+        self._abandoned: set = set()  # tickets whose waiter died mid-wait
         self.max_queue = max_queue
+
+    def _advance(self):
+        # caller holds self._cond
+        self._serving += 1
+        while self._serving in self._abandoned:
+            self._abandoned.discard(self._serving)
+            self._serving += 1
+        self._cond.notify_all()
 
     @contextlib.contextmanager
     def acquire(self):
-        with self._state:
-            if self._in_flight >= self.max_queue:
+        with self._cond:
+            in_flight = self._next_ticket - self._serving - len(self._abandoned)
+            if in_flight >= self.max_queue:
                 raise HTTPError(
                     429,
-                    f"engine busy: {self._in_flight} request(s) in flight "
+                    f"engine busy: {in_flight} request(s) in flight "
                     f"(max {self.max_queue}); retry later",
                 )
-            self._in_flight += 1
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            try:
+                while self._serving != ticket:
+                    self._cond.wait()
+            except BaseException:
+                # never wedge the queue: hand the turn onward
+                if self._serving == ticket:
+                    self._advance()
+                else:
+                    self._abandoned.add(ticket)
+                raise
         try:
-            with self._run_lock:
-                yield
+            yield
         finally:
-            with self._state:
-                self._in_flight -= 1
+            with self._cond:
+                self._advance()
 
 
 ENGINE_GATE = EngineGate(MAGI_MAX_QUEUE)

