@@ -260,11 +260,14 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
                 kv1_8, sc1 = cache_l["kv"], cache_l["scale"]
             else:
                 kv1_8, sc1 = quantize_kv_per_token(cache_l)
-            kv2_8, sc2 = quantize_kv_per_token(kv_cur)
+            if isinstance(kv_cur, dict):  # pre-quantized by the fused pack
+                kv2_8, sc2 = kv_cur["kv"], kv_cur["scale"]
+            else:
+                kv2_8, sc2 = quantize_kv_per_token(kv_cur)
             if _use_pallas():
                 return segmented_attention_two_source_q8(
                     q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e,
-                    seg_len=seg_len, block_q=512, block_k=1024, q_prologue=q_pro,
+                    seg_len=seg_len, q_prologue=q_pro,
                 )
             return segmented_attention_two_source_q8_reference(
                 q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e, seg_len=seg_len,
@@ -288,7 +291,10 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
             kv1_8, sc1 = cache_l["kv"], cache_l["scale"]
         else:
             kv1_8, sc1 = quantize_kv_per_token(cache_l)
-        kv2_8, sc2 = quantize_kv_per_token(kv_cur)
+        if isinstance(kv_cur, dict):  # pre-quantized by the fused pack
+            kv2_8, sc2 = kv_cur["kv"], kv_cur["scale"]
+        else:
+            kv2_8, sc2 = quantize_kv_per_token(kv_cur)
         scspec = P(None, heads, None)
         if q_pro is None:
             def sharded_q8(qq, c1, s1, c2, s2, a, b, cc, d):
@@ -312,7 +318,6 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
         def sharded_q8_pro(qq, c1, s1, c2, s2, a, b, cc, d, w_, b_, s_, co_):
             return segmented_attention_two_source_q8(
                 qq, c1, s1, c2, s2, a, b, cc, d, seg_len=seg_len,
-                block_q=512, block_k=1024,
                 q_prologue=(w_, b_, s_, co_, ln_eps8),
             )
 
@@ -342,7 +347,7 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
 
     def sharded(qq, c1, c2, a, b, cc, d, w_, b_, s_, co_):
         return segmented_attention_two_source(
-            qq, c1, c2, a, b, cc, d, seg_len=seg_len, block_q=512, block_k=1024,
+            qq, c1, c2, a, b, cc, d, seg_len=seg_len,
             q_prologue=(w_, b_, s_, co_, ln_eps),
         )
 
@@ -748,7 +753,16 @@ def attention_forward(
     kw = p["k_layernorm"]["weight"].astype(jnp.float32) + (1.0 if zc else 0.0)
     kb = p["k_layernorm"]["bias"].astype(jnp.float32)
     if _use_pallas() and hd % 128 == 0 and mesh_lib.model_parallel_trivial():
-        kv = kv_norm_rope_pack(k, v, kw, kb, sin, cos, eps=eps, rep=rep, out_dtype=x.dtype)
+        if _attn_int8_store():
+            # fused per-token int8 quantization (VERDICT r3 #7): the pack
+            # kernel emits {kv int8, scales} directly — the separate
+            # quantize pass's full kv read+write disappears from the step
+            kv8_f, sc_f = kv_norm_rope_pack(
+                k, v, kw, kb, sin, cos, eps=eps, rep=rep, quantize=True
+            )
+            kv = {"kv": kv8_f, "scale": sc_f}
+        else:
+            kv = kv_norm_rope_pack(k, v, kw, kb, sin, cos, eps=eps, rep=rep, out_dtype=x.dtype)
     else:
         # XLA path (CPU / meshes — a Pallas call is opaque to the SPMD
         # partitioner and would replicate sharded operands)
@@ -767,11 +781,17 @@ def attention_forward(
             # (ref: dit_module.py:918-929)
             clip = S - ctn if meta.distill_nearly_clean_chunk else S
             if isinstance(cache_l, dict):
-                # int8-STORED cache: quantize the written slice once here
-                # instead of requantizing the whole buffer every forward
-                from magi_tpu.ops.attention_q8 import quantize_kv_per_token
+                # int8-STORED cache: the written slice is already quantized
+                # when the fused pack kernel ran (kv is a dict); otherwise
+                # quantize it once here instead of requantizing the whole
+                # buffer every forward
+                if isinstance(kv, dict):
+                    kv8_w = kv["kv"][:, :, :clip]
+                    sc_w = kv["scale"][:, :, :clip]
+                else:
+                    from magi_tpu.ops.attention_q8 import quantize_kv_per_token
 
-                kv8_w, sc_w = quantize_kv_per_token(kv[:, :, :clip])
+                    kv8_w, sc_w = quantize_kv_per_token(kv[:, :, :clip])
                 new_cache_l = {
                     "kv": lax.dynamic_update_slice(
                         cache_l["kv"], kv8_w, (0, 0, start_tok, 0)
@@ -800,7 +820,14 @@ def attention_forward(
         # two-source kernel with an EMPTY first source — the packed kv is
         # already in kernel layout, so no relayout back to [S, hk, hd]
         new_cache_l = cache_l
-        zero_kv = jnp.zeros((2, kv.shape[1], 0, hd), kv.dtype)
+        hk_kv = (kv["kv"] if isinstance(kv, dict) else kv).shape[1]
+        if isinstance(kv, dict):
+            zero_kv = {
+                "kv": jnp.zeros((2, hk_kv, 0, hd), jnp.int8),
+                "scale": jnp.zeros((2, hk_kv, 0), jnp.float32),
+            }
+        else:
+            zero_kv = jnp.zeros((2, hk_kv, 0, hd), kv.dtype)
         z = jnp.zeros_like(gs)
         core = _attention_cached(
             q, zero_kv, kv, z, z, gs, ge, seg_len=ctn, q_pro=q_pro,

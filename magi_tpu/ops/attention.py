@@ -172,6 +172,32 @@ def _fit_group_blocks(q_per_kv: int, block_q: int, block_k: int) -> tuple[int, i
     return block_q, block_k
 
 
+def auto_blocks(seg_len: int, q_per_kv: int, *, q8: bool = False) -> tuple[int, int]:
+    """Measured-optimal (block_q, block_k) for the streaming kernels
+    (scripts/ab_blocks2.py, v5e chip sweep, round 4).
+
+    Q-TILE COUNT is the kv re-stream multiplier (each q tile streams the
+    whole attended kv range), so the best block_q is the LARGEST that
+    keeps the GQA-folded score tile (q_per_kv*block_q rows x block_k)
+    inside the 16MB Mosaic kernel stack, then TRIMMED to the smallest
+    multiple covering seg_len in that tile count (removes the padded
+    seg_pad rows — up to 14% wasted MXU work at short segments).
+
+    Per-kernel-family optima differ (all four sweep winners reproduced):
+      bf16: block_k 256, budget ~850k elems -> (1088,256) at 4.5B-480p
+            (150.7 vs 141.6 TF/s), (512,256) at 24B-256p (140.3 vs 133.3)
+      qk8:  block_k 512 (int8 dequant collapses at bk 256: 103-109 TF/s),
+            budget ~950k -> (608,512) at 4.5B (156.5 vs 149.9), (256,512)
+            at 24B (141.1)
+    Trim alignment: 16 rows (bf16 block dims) / 32 (int8 q_scr slices)."""
+    budget, bk, align = (950_000, 512, 32) if q8 else (850_000, 256, 16)
+    bq_cap = max(align, (budget // (q_per_kv * bk) // align) * align)
+    bq = min(bq_cap, round_up(seg_len, align))
+    n_tiles = -(-seg_len // bq)
+    bq = round_up(-(-seg_len // n_tiles), align)
+    return bq, bk
+
+
 def segmented_attention(
     q: jax.Array,  # [n_seg * seg_len, hq, hd]
     k: jax.Array,  # [kv_len, hk, hd]
@@ -603,7 +629,8 @@ def segmented_attention_v2(
     return out.reshape(total_q, hq, hd)
 
 
-def _kv_epilogue_kernel(kw_ref, kb_ref, sin_ref, cos_ref, k_ref, v_ref, out_ref, *, rot: int, eps: float):
+def _kv_epilogue_kernel(kw_ref, kb_ref, sin_ref, cos_ref, k_ref, v_ref, out_ref,
+                        scale_ref=None, *, rot: int, eps: float):
     kf = k_ref[...].astype(jnp.float32)  # [block_s, hd]
     mean = jnp.mean(kf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(kf - mean), axis=-1, keepdims=True)
@@ -616,8 +643,22 @@ def _kv_epilogue_kernel(kw_ref, kb_ref, sin_ref, cos_ref, k_ref, v_ref, out_ref,
         x2 = kn[:, rot : 2 * rot]
         tail = kn[:, 2 * rot :]
         kn = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos, tail], axis=-1)
-    out_ref[0, 0] = kn.astype(out_ref.dtype)
-    out_ref[1, 0] = v_ref[...].astype(out_ref.dtype)
+    if scale_ref is None:
+        out_ref[0, 0] = kn.astype(out_ref.dtype)
+        out_ref[1, 0] = v_ref[...].astype(out_ref.dtype)
+        return
+    # fused per-token int8 quantization (int8-STORED cache mode): removes
+    # the separate XLA quantize pass's kv read+write per layer per forward
+    # (VERDICT r3 #7).  Quantizes from the f32 kn (pre-bf16-round): only the
+    # on-chip Pallas path takes this branch, so the CPU reference path's
+    # bit-equality (store == per-forward requant) is untouched.
+    vf = v_ref[...].astype(jnp.float32)
+    sk = jnp.maximum(jnp.max(jnp.abs(kn), axis=-1, keepdims=True), 1e-8) * (1.0 / 127.0)
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=-1, keepdims=True), 1e-8) * (1.0 / 127.0)
+    out_ref[0, 0] = jnp.clip(jnp.round(kn * (1.0 / sk)), -127, 127).astype(jnp.int8)
+    out_ref[1, 0] = jnp.clip(jnp.round(vf * (1.0 / sv)), -127, 127).astype(jnp.int8)
+    scale_ref[0, 0] = sk  # [block_s, 1]
+    scale_ref[1, 0] = sv
 
 
 def kv_norm_rope_pack(
@@ -632,8 +673,9 @@ def kv_norm_rope_pack(
     rep: int = 1,
     out_dtype=None,
     block_s: int = 512,
+    quantize: bool = False,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Fused k-side epilogue: fp32 k-layernorm + rotary + bf16 cast + pack
     into the attention-kernel / KV-cache layout [2, hk*rep, S, hd], with
     GQA head replication done by the output grid (mesh.kv_replication).
@@ -643,7 +685,14 @@ def kv_norm_rope_pack(
     because the cache now STORES this layout — the per-layer cache
     transpose the two-source wrapper used to do (docs/perf_notes.md
     'k-side' item).  The head dim stays 1 per grid step, so the layout
-    change is pure output indexing (no in-kernel transpose)."""
+    change is pure output indexing (no in-kernel transpose).
+
+    `quantize=True` (int8-STORED-cache mode, ops/attention_q8): the kernel
+    additionally performs the per-token symmetric int8 quantization and
+    returns (kv int8 [2, hk*rep, S, hd], scales f32 [2, hk*rep, S]) — the
+    exact layout `segmented_attention_two_source_q8` and the int8 cache
+    consume — removing the separate quantize pass's full kv read+write
+    per layer per forward (VERDICT r3 #7)."""
     S, hk, hd = k.shape
     assert v.shape == k.shape and hd % NUM_LANES == 0
     out_dtype = out_dtype or k.dtype
@@ -673,21 +722,46 @@ def kv_norm_rope_pack(
     ]
 
     def kernel(*refs):
+        scale_r = None
+        if quantize:
+            *refs, scale_r = refs
         if rot:
             kw_r, kb_r, sin_r, cos_r, k_r, v_r, o_r = refs
         else:
             kw_r, kb_r, k_r, v_r, o_r = refs
             sin_r = cos_r = None
-        _kv_epilogue_kernel(kw_r, kb_r, sin_r, cos_r, k_r, v_r, o_r, rot=rot, eps=float(eps))
+        _kv_epilogue_kernel(kw_r, kb_r, sin_r, cos_r, k_r, v_r, o_r, scale_r,
+                            rot=rot, eps=float(eps))
 
-    return pl.pallas_call(
+    kv_spec = pl.BlockSpec((2, 1, block_s, hd), lambda g, st: (0, g, st, 0))
+    if not quantize:
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=kv_spec,
+            out_shape=jax.ShapeDtypeStruct((2, hk * rep, S, hd), out_dtype),
+            interpret=interpret,
+        )(*operands)
+    # scales as [2, G, S, 1]: the trailing singleton keeps the block's last
+    # dim equal to the array dim (a bare [2, G, S] would put the head dim
+    # second-minor with a singleton block — illegal under Mosaic's
+    # last-two-dims tiling rule); callers get the squeezed [2, G, S] view.
+    kv8, sc = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((2, 1, block_s, hd), lambda g, st: (0, g, st, 0)),
-        out_shape=jax.ShapeDtypeStruct((2, hk * rep, S, hd), out_dtype),
+        out_specs=(
+            kv_spec,
+            pl.BlockSpec((2, 1, block_s, 1), lambda g, st: (0, g, st, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, hk * rep, S, hd), jnp.int8),
+            jax.ShapeDtypeStruct((2, hk * rep, S, 1), jnp.float32),
+        ),
         interpret=interpret,
     )(*operands)
+    return kv8, sc[..., 0]
 
 
 def kv_norm_rope_pack_reference(k, v, kw, kb, sin, cos, *, eps, rep=1, out_dtype=None):
@@ -863,8 +937,8 @@ def segmented_attention_two_source(
     *,
     seg_len: int,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     q_prologue=None,  # (qln_w f32 [hd] (+1 pre-applied), qln_b f32 [hd],
     #                    sin f32 [total_q, rot], cos f32 [total_q, rot],
@@ -885,6 +959,9 @@ def segmented_attention_two_source(
     if sm_scale is None:
         sm_scale = hd ** -0.5
 
+    if block_q is None or block_k is None:
+        abq, abk = auto_blocks(seg_len, q_per_kv, q8=False)
+        block_q, block_k = block_q or abq, block_k or abk
     block_q = _pick_block(seg_len, block_q)
     block_k = _pick_block(max(kv1_len, kv2_len), block_k)
     block_q, block_k = _fit_group_blocks(q_per_kv, block_q, block_k)

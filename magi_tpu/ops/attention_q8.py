@@ -55,6 +55,7 @@ from magi_tpu.ops.attention import (
     NUM_LANES,
     _fit_group_blocks,
     _pick_block,
+    auto_blocks,
     _q_prologue,
     segmented_attention_two_source_reference,
 )
@@ -389,8 +390,8 @@ def segmented_attention_two_source_q8(
     *,
     seg_len: int,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     q_prologue=None,  # (qln_w, qln_b, sin, cos, ln_eps) — as the bf16 kernel
     scheme: Optional[str] = None,
@@ -410,6 +411,9 @@ def segmented_attention_two_source_q8(
     if sm_scale is None:
         sm_scale = hd ** -0.5
 
+    if block_q is None or block_k is None:
+        abq, abk = auto_blocks(seg_len, q_per_kv, q8=True)
+        block_q, block_k = block_q or abq, block_k or abk
     block_q = _pick_block(seg_len, block_q)
     block_k = _pick_block(max(kv1_len, kv2_len), block_k)
     block_q, block_k = _fit_group_blocks(q_per_kv, block_q, block_k)

@@ -10,6 +10,12 @@ round-robin, the all-gather is the unshard, and XLA handles both.
 MAGI's ViTVAE disables spatial tiling and uses temporal overlap 0
 (ref: vae_model.py:331-333), so no blend pass is needed; equal-size tiles
 by construction make the load balance exact.
+
+The reference's GENERIC capability — spatial+temporal tile grids with
+linear cross-fade overlap blending for tokenizers that DO allow spatial
+tiling (ref: TileProcessor + blend_t/v/h, tile_parallel.py:181-448) —
+lives in `magi_tpu/pipeline/tiling.py` (`tiled_process_3d`), reached via
+`tiled_encode` when `vae.allow_spatial_tiling` is set.
 """
 
 from __future__ import annotations

@@ -126,3 +126,90 @@ def test_empty_ranges_mid_tile(rng):
     # (fully-masked-tile p=1 regression, see test_attention.py)
     check(rng, 2, 128, 256, 256, 4, 2, 64,
           [(200, 200), (0, 256)], [(0, 256), (70, 70)])
+
+
+def test_auto_blocks_reproduces_chip_sweep_winners():
+    """The measured-optimal rule must keep producing the four sweep
+    winners (scripts/ab_blocks2.py, v5e round-4 chip sweep) and stay
+    kernel-legal (block_q 16/32-aligned, block_k a NUM_LANES multiple)
+    at tiny test shapes."""
+    from magi_tpu.ops.attention import NUM_LANES, auto_blocks
+
+    # 4.5B: seg 5400, q_per_kv 24//8=3; 24B-256p: seg 1536, q_per_kv 48//8=6
+    assert auto_blocks(5400, 3) == (1088, 256)
+    assert auto_blocks(1536, 6) == (512, 256)
+    assert auto_blocks(5400, 3, q8=True) == (608, 512)
+    assert auto_blocks(1536, 6, q8=True) == (256, 512)
+    for seg in (1, 17, 64, 333, 5400, 21600):
+        for qpk in (1, 3, 6, 48):
+            for q8 in (False, True):
+                bq, bk = auto_blocks(seg, qpk, q8=q8)
+                align = 32 if q8 else 16
+                assert bq % align == 0 and bk % NUM_LANES == 0
+                n_tiles = -(-seg // bq)
+                # trim property: one fewer tile would not cover seg_len
+                assert n_tiles * bq >= seg
+                assert bq - align < -(-seg // n_tiles) or bq == align
+
+
+def test_kv_norm_rope_pack_quantized_matches_separate_quantize(rng):
+    """quantize=True pack kernel == plain pack followed by
+    quantize_kv_per_token (within one int8 quantum: the fused kernel
+    quantizes from the f32 kn, the unfused chain from the bf16-rounded
+    pack output)."""
+    from magi_tpu.ops.attention import kv_norm_rope_pack, kv_norm_rope_pack_reference
+    from magi_tpu.ops.attention_q8 import quantize_kv_per_token
+
+    S, hk, hd, rot = 200, 2, 128, 48
+    k = jnp.asarray(rng.normal(size=(S, hk, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(S, hk, hd)), jnp.float32)
+    kw = jnp.asarray(rng.normal(size=(hd,)), jnp.float32)
+    kb = jnp.asarray(rng.normal(size=(hd,)), jnp.float32)
+    sin = jnp.asarray(rng.normal(size=(S, rot)), jnp.float32)
+    cos = jnp.asarray(rng.normal(size=(S, rot)), jnp.float32)
+    for rep in (1, 2):
+        kv8, sc = kv_norm_rope_pack(k, v, kw, kb, sin, cos, eps=1e-6, rep=rep,
+                                    block_s=64, quantize=True, interpret=True)
+        assert kv8.dtype == jnp.int8 and kv8.shape == (2, hk * rep, S, hd)
+        assert sc.dtype == jnp.float32 and sc.shape == (2, hk * rep, S)
+        ref_kv = kv_norm_rope_pack_reference(
+            k, v, kw, kb, sin, cos, eps=1e-6, rep=rep, out_dtype=jnp.bfloat16
+        )
+        ref8, ref_sc = quantize_kv_per_token(ref_kv)
+        # int8 codes within one quantum (the fused kernel quantizes the f32
+        # kn, the unfused chain the bf16-rounded pack output — round-to-
+        # nearest can flip by exactly 1)
+        assert np.abs(np.asarray(kv8, np.int32) - np.asarray(ref8, np.int32)).max() <= 1
+        # dequantized values within 1 per-token quantum + the bf16-ulp
+        # scale mismatch (<=2^-9 relative) times the up-to-127 code it
+        # multiplies: 1 + 127/512 < 1.5 quanta (measured max 1.26)
+        got_dq = np.asarray(kv8, np.float32) * np.asarray(sc)[..., None]
+        want_dq = np.asarray(ref8, np.float32) * np.asarray(ref_sc)[..., None]
+        quantum = np.maximum(np.asarray(sc), np.asarray(ref_sc))[..., None]
+        assert (np.abs(got_dq - want_dq) <= 1.5 * quantum + 1e-6).all()
+
+
+def test_attention_cached_accepts_prequantized_kv_dict(rng, monkeypatch):
+    """_attention_cached with kv_cur as a {kv, scale} dict (the fused
+    pack's output) == the same call with the bf16 kv quantized inside."""
+    import jax
+
+    from magi_tpu.models.dit import model as model_lib
+    from magi_tpu.ops.attention_q8 import quantize_kv_per_token
+
+    monkeypatch.setenv("MAGI_ATTN_INT8", "1")
+    n_seg, ctn, C0, hq, hk, hd = 2, 64, 128, 4, 2, 64
+    q = jnp.asarray(rng.normal(size=(n_seg * ctn, hq, hd)), jnp.bfloat16)
+    cache = jnp.asarray(rng.normal(size=(2, hk, C0, hd)), jnp.bfloat16)
+    kv_cur = jnp.asarray(rng.normal(size=(2, hk, n_seg * ctn, hd)), jnp.bfloat16)
+    r1s = jnp.zeros(n_seg, jnp.int32)
+    r1e = jnp.full(n_seg, C0, jnp.int32)
+    r2s = jnp.zeros(n_seg, jnp.int32)
+    r2e = jnp.asarray([(i + 1) * ctn for i in range(n_seg)], jnp.int32)
+
+    want = model_lib._attention_cached(q, cache, kv_cur, r1s, r1e, r2s, r2e, seg_len=ctn)
+    kv8, sc = quantize_kv_per_token(kv_cur)
+    got = model_lib._attention_cached(
+        q, cache, {"kv": kv8, "scale": sc}, r1s, r1e, r2s, r2e, seg_len=ctn
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

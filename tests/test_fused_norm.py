@@ -86,3 +86,58 @@ def test_matches_unfused(rng, zc, n_seg, seg_len, block, D):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_single_segment_and_extreme_gates(rng):
+    """n_seg=1 (w1 steps — most of the headline walk) and near-zero /
+    large gate magnitudes: the fp32 island inside the kernel must match
+    the unfused chain bit-for-bit at bf16 output precision."""
+    S, D = 96, 256
+    x = jnp.asarray(rng.normal(size=(S, D)), jnp.bfloat16)
+    res = jnp.asarray(rng.normal(size=(S, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(D,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+    for gate_scale in (1e-6, 1.0, 1e3):
+        gate = jnp.asarray(rng.normal(size=(1, D)) * gate_scale, jnp.float32)
+        got = gate_norm_residual(x, res, gate, w, b, eps=1e-6, zero_centered=True,
+                                 n_seg=1, block_rows=64, interpret=True)
+        want = unfused(x, res, gate, w, b, 1e-6, True, 1)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_gate_indexing_per_segment(rng):
+    """Each segment must be multiplied by ITS gate row (the range_mod
+    gather semantics, ref: dit_module.py:201-289): distinct constant
+    gates per segment produce outputs that differ exactly per segment."""
+    n_seg, seg_len, D = 3, 64, 256
+    S = n_seg * seg_len
+    x = jnp.ones((S, D), jnp.bfloat16)
+    res = jnp.zeros((S, D), jnp.bfloat16)
+    w = jnp.ones((D,), jnp.float32) * 0.0  # zero-centered -> gamma = 1
+    b = jnp.zeros((D,), jnp.float32)
+    gate = jnp.asarray(np.stack([np.full(D, g, np.float32) for g in (0.0, 1.0, 2.0)]))
+    got = np.asarray(
+        gate_norm_residual(x, res, gate, w, b, eps=1e-6, zero_centered=True,
+                           n_seg=n_seg, block_rows=64, interpret=True),
+        np.float32,
+    )
+    # uniform x rows: LN of a constant row is 0 regardless of gate, EXCEPT
+    # gate 0 which zeroes the input first (still 0 after LN) — instead use
+    # the unfused chain as oracle per segment to pin row->gate mapping
+    want = np.asarray(unfused(x, res, gate, w, b, 1e-6, True, n_seg), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    # and a non-uniform x to make per-segment differences visible
+    x2 = jnp.asarray(np.random.default_rng(0).normal(size=(S, D)), jnp.bfloat16)
+    got2 = np.asarray(
+        gate_norm_residual(x2, res, gate, w, b, eps=1e-6, zero_centered=True,
+                           n_seg=n_seg, block_rows=64, interpret=True),
+        np.float32,
+    )
+    want2 = np.asarray(unfused(x2, res, gate, w, b, 1e-6, True, n_seg), np.float32)
+    np.testing.assert_allclose(got2, want2, atol=2e-2, rtol=2e-2)
+    # gate 0 zeroes segment 0's contribution entirely (residual is 0 here)
+    assert np.abs(got2[:seg_len]).max() < 1e-3
+    assert np.abs(got2[seg_len:]).max() > 0.1
