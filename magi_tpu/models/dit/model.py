@@ -96,9 +96,8 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len, q_pro=None):
     from magi_tpu.parallel import mesh as mesh_lib
 
     if _use_pallas():
-        impl = functools.partial(
-            segmented_attention_v2, block_q=512, block_k=1024, q_prologue=q_pro
-        )
+        # block_q/block_k resolve via auto_blocks (measured-optimal)
+        impl = functools.partial(segmented_attention_v2, q_prologue=q_pro)
     else:
         assert q_pro is None  # reference path normalizes/ropes outside
         impl = segmented_attention_reference
@@ -209,7 +208,7 @@ def _attention(q, k, v, kv_start, kv_end, *, seg_len, q_pro=None):
         else:
             (w_, b_), s_, c_ = pro, None, None
         return segmented_attention_v2(
-            qq, kk, vv, a, b, seg_len=seg_len, block_q=512, block_k=1024,
+            qq, kk, vv, a, b, seg_len=seg_len,
             q_prologue=(w_, b_, s_, c_, ln_eps),
         )
 
@@ -234,9 +233,8 @@ def _attention_cached(q, cache_l, kv_cur, r1s, r1e, r2s, r2e, *, seg_len, q_pro=
     from magi_tpu.parallel import mesh as mesh_lib
 
     if _use_pallas():
-        impl = functools.partial(
-            segmented_attention_two_source, block_q=512, block_k=1024, q_prologue=q_pro
-        )
+        # block_q/block_k resolve via auto_blocks (measured-optimal)
+        impl = functools.partial(segmented_attention_two_source, q_prologue=q_pro)
     else:
         assert q_pro is None  # reference path normalizes/ropes outside
         impl = segmented_attention_two_source_reference

@@ -511,8 +511,8 @@ def segmented_attention_v2(
     *,
     seg_len: int,
     sm_scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: bool = False,
     q_prologue=None,  # (qln_w f32 [hd] (+1 pre-applied), qln_b f32 [hd],
     #                    sin|None [total_q, rot], cos|None, ln_eps):
@@ -525,11 +525,14 @@ def segmented_attention_v2(
     assert hd == hd_k and v.shape == k.shape
     if hd % NUM_LANES != 0:
         # manual DMA slices must be lane-aligned; the grid variant's
-        # BlockSpecs handle sub-128 head dims (e.g. the VAE's 64)
+        # BlockSpecs handle sub-128 head dims (e.g. the VAE's 64).  The
+        # auto_blocks rule is measured for the STREAMING kernels only, so
+        # the grid variant keeps its own defaults when none are passed.
         assert q_prologue is None, "fused q prologue needs head_dim % 128 == 0"
         return segmented_attention(
             q, k, v, kv_start, kv_end, seg_len=seg_len, sm_scale=sm_scale,
-            block_q=block_q, block_k=min(block_k, 512), interpret=interpret,
+            block_q=block_q or 512, block_k=min(block_k or 512, 512),
+            interpret=interpret,
         )
     n_seg = total_q // seg_len
     assert hq % hk == 0
@@ -537,6 +540,9 @@ def segmented_attention_v2(
     if sm_scale is None:
         sm_scale = hd ** -0.5
 
+    if block_q is None or block_k is None:
+        abq, abk = auto_blocks(seg_len, q_per_kv, q8=False)
+        block_q, block_k = block_q or abq, block_k or abk
     block_q = _pick_block(seg_len, block_q)
     block_k = _pick_block(kv_len, block_k)
     block_q, block_k = _fit_group_blocks(q_per_kv, block_q, block_k)
