@@ -40,6 +40,7 @@ Design notes (TPU-first)
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -170,6 +171,22 @@ def _fit_group_blocks(q_per_kv: int, block_q: int, block_k: int) -> tuple[int, i
     while q_per_kv * block_q * block_k > _MAX_SCORE_ELEMS and block_q > 128:
         block_q //= 2
     return block_q, block_k
+
+
+def unified_stream_default() -> bool:
+    """Two-source kernels: stream both kv sources through ONE continuous
+    double-buffered DMA loop (and start the first tile before the q
+    prologue) instead of two phases with separate warmups.  Identical tile
+    order -> bit-equal outputs (tested both ways).
+
+    Tried as the fix for the short-kv efficiency gap (w2 ran 129.8 TF/s vs
+    150.3 at w4, VERDICT r3 #3) and chip-measured a WASH: 0.972-1.013x
+    across w1/w2/w4 at 4.5B-480p and 24B-256p shapes, bf16 and qk8
+    (scripts/check_unified_chip.py, round 4) — Mosaic's scalar core runs
+    far enough ahead that the split phases' DMA warmups were already
+    hidden.  Kept opt-in under `MAGI_ATTN_UNIFIED_STREAM=1`; the split
+    path stays the measured default."""
+    return os.environ.get("MAGI_ATTN_UNIFIED_STREAM", "0") == "1"
 
 
 def auto_blocks(seg_len: int, q_per_kv: int, *, q8: bool = False) -> tuple[int, int]:
@@ -416,13 +433,6 @@ def _seg_attn_kernel_v2(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    # sm_scale*LOG2E is pre-folded into q (into qw/qb by the wrapper in
-    # fused_norm mode): the score tiles need no per-tile scale pass.
-    _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
-                q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
-                fused_norm=fused_norm,
-                scale=1.0 if fused_norm else sm_scale * LOG2E)
-
     def dma(slot, tile):
         off = pl.multiple_of(tile * block_k, block_k)
         return (
@@ -431,10 +441,19 @@ def _seg_attn_kernel_v2(
         )
 
     @pl.when(lo < hi)
-    def _():
+    def _():  # first tile's DMA in flight while the prologue computes
         for c in dma(0, lo):
             c.start()
 
+    # sm_scale*LOG2E is pre-folded into q (into qw/qb by the wrapper in
+    # fused_norm mode): the score tiles need no per-tile scale pass.
+    _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
+                fused_norm=fused_norm,
+                scale=1.0 if fused_norm else sm_scale * LOG2E)
+
+    @pl.when(lo < hi)
+    def _():
         def tile_compute(i, slot, masked: bool):
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
             q = q_scr[...]
@@ -808,6 +827,7 @@ def _seg_attn_kernel_two_source(
     q_per_kv: int,
     fused_rot: int = 0,
     ln_eps: float = 1e-6,
+    unified: bool = True,
 ):
     """Two-source streaming variant: each segment attends
     src1[r1_start, r1_end) then src2[r2_start, r2_end).  Lets the KV cache
@@ -817,6 +837,13 @@ def _seg_attn_kernel_two_source(
 
     Like `_seg_attn_kernel_v2`, the grid walks KV heads and folds the whole
     GQA group into the matmul rows (q_per_kv× less kv DMA).
+
+    `unified=True` (opt-in, see `unified_stream_default` for the measured
+    wash): both sources flow through ONE fori_loop over a virtual tile
+    index (src1's tiles then src2's), so the double-buffer pipeline never
+    drains at the source boundary, and the first tile's DMA is issued
+    BEFORE the q prologue compute.  Tile visit order is identical to the
+    split-phase path -> bit-equal outputs.
 
     With `fused_rot = rot > 0`, the kernel additionally applies the fp32
     q-side QK-layernorm + rotary in its prologue (q arrives RAW from the
@@ -840,6 +867,118 @@ def _seg_attn_kernel_two_source(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    def copies(slot, src_hbm, tile):
+        off = pl.multiple_of(tile * block_k, block_k)
+        return (
+            pltpu.make_async_copy(src_hbm.at[0, kv_head, pl.ds(off, block_k), :], k_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(src_hbm.at[1, kv_head, pl.ds(off, block_k), :], v_buf.at[slot], sems.at[slot, 1]),
+        )
+
+    def tile_compute(i, slot, start, end, masked: bool):
+        rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
+        q = q_scr[...]
+        k = k_buf[slot]
+        s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
+            valid = jnp.logical_and(col >= start, col < end)
+            s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        repeats = block_k // NUM_LANES
+        p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+        if masked:
+            # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
+            # uniform garbage (partial masks underflow on their own):
+            # zero p so empty / sub-tile ranges contribute nothing
+            p = jnp.where(valid, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_next)
+        # deferred normalization: acc stays unnormalized until the store
+        l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
+        hd_repeats, rem = divmod(head_dim, NUM_LANES)
+        if rem:
+            l_broadcast = lambda l: l[:, :head_dim]
+        else:
+            l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+        v = v_buf[slot]
+        acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    r1s, r1e = r1_start_ref[seg], r1_end_ref[seg]
+    r2s, r2e = r2_start_ref[seg], r2_end_ref[seg]
+
+    if unified:
+        # ---- single continuous stream over both sources ------------------
+        lo1 = r1s // block_k
+        n1 = jnp.where(r1e > r1s, lax.div(r1e + block_k - 1, block_k) - lo1, 0)
+        lo2 = r2s // block_k
+        n2 = jnp.where(r2e > r2s, lax.div(r2e + block_k - 1, block_k) - lo2, 0)
+        total = n1 + n2
+
+        def dma_io(slot, j, op):
+            # the source ref cannot be selected dynamically — branch; only
+            # one side runs, signalling/waiting the same semaphores
+            @pl.when(j < n1)
+            def _():
+                for c in copies(slot, kv1_hbm, lo1 + j):
+                    getattr(c, op)()
+
+            @pl.when(j >= n1)
+            def _():
+                for c in copies(slot, kv2_hbm, lo2 + j - n1):
+                    getattr(c, op)()
+
+        @pl.when(total > 0)
+        def _():  # first tile's DMA in flight while the prologue computes
+            dma_io(0, 0, "start")
+
+        _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                    q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
+                    fused_norm=bool(fused_rot),
+                    scale=1.0 if fused_rot else sm_scale * LOG2E)
+
+        @pl.when(total > 0)
+        def _():
+            def body(j, _):
+                slot = lax.rem(j, 2)
+
+                @pl.when(j + 1 < total)
+                def _():
+                    dma_io(lax.rem(j + 1, 2), j + 1, "start")
+
+                dma_io(slot, j, "wait")
+
+                in1 = j < n1
+                tile = jnp.where(in1, lo1 + j, lo2 + j - n1)
+                start = jnp.where(in1, r1s, r2s)
+                end = jnp.where(in1, r1e, r2e)
+                # only boundary tiles can contain out-of-range positions
+                is_boundary = jnp.logical_or(
+                    tile * block_k < start, (tile + 1) * block_k > end
+                )
+
+                @pl.when(is_boundary)
+                def _():
+                    tile_compute(tile, slot, start, end, masked=True)
+
+                @pl.when(jnp.logical_not(is_boundary))
+                def _():
+                    tile_compute(tile, slot, start, end, masked=False)
+
+                return ()
+
+            lax.fori_loop(0, total, body, (), unroll=False)
+
+        _o_epilogue(o_ref, acc_scr, l_scr, q_per_kv=q_per_kv)
+        return
+
+    # ---- split-phase path (MAGI_ATTN_UNIFIED_STREAM=0, for chip A/B) ----
     # sm_scale*LOG2E pre-folded into q (into qw/qb by the wrapper when the
     # norm prologue is fused): no per-tile score-scale pass below.
     _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
@@ -851,52 +990,9 @@ def _seg_attn_kernel_two_source(
         lo = start // block_k
         hi = lax.div(end + block_k - 1, block_k)
 
-        def dma(slot, tile):
-            off = pl.multiple_of(tile * block_k, block_k)
-            return (
-                pltpu.make_async_copy(src_hbm.at[0, kv_head, pl.ds(off, block_k), :], k_buf.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(src_hbm.at[1, kv_head, pl.ds(off, block_k), :], v_buf.at[slot], sems.at[slot, 1]),
-            )
-
-        def tile_compute(i, slot, masked: bool):
-            rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
-            q = q_scr[...]
-            k = k_buf[slot]
-            s = lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            if masked:
-                col = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1) + i * block_k
-                valid = jnp.logical_and(col >= start, col < end)
-                s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
-
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=1)[:, None]
-            m_next = jnp.maximum(m_prev, m_curr)
-            repeats = block_k // NUM_LANES
-            p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
-            if masked:
-                # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
-                # uniform garbage (partial masks underflow on their own):
-                # zero p so empty / sub-tile ranges contribute nothing
-                p = jnp.where(valid, p, 0.0)
-            alpha = jnp.exp2(m_prev - m_next)
-            # deferred normalization: acc stays unnormalized until the store
-            l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
-            hd_repeats, rem = divmod(head_dim, NUM_LANES)
-            if rem:
-                l_broadcast = lambda l: l[:, :head_dim]
-            else:
-                l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
-            m_scr[...] = m_next
-            l_scr[...] = l_next
-            v = v_buf[slot]
-            acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
-
         @pl.when(lo < hi)
         def _():
-            for c in dma(0, lo):
+            for c in copies(0, src_hbm, lo):
                 c.start()
 
             def body(i, _):
@@ -905,10 +1001,10 @@ def _seg_attn_kernel_two_source(
 
                 @pl.when(i + 1 < hi)
                 def _():
-                    for c in dma(nxt, i + 1):
+                    for c in copies(nxt, src_hbm, i + 1):
                         c.start()
 
-                for c in dma(slot, i):
+                for c in copies(slot, src_hbm, i):
                     c.wait()
 
                 # only boundary tiles can contain out-of-range positions
@@ -916,18 +1012,18 @@ def _seg_attn_kernel_two_source(
 
                 @pl.when(is_boundary)
                 def _():
-                    tile_compute(i, slot, masked=True)
+                    tile_compute(i, slot, start, end, masked=True)
 
                 @pl.when(jnp.logical_not(is_boundary))
                 def _():
-                    tile_compute(i, slot, masked=False)
+                    tile_compute(i, slot, start, end, masked=False)
 
                 return ()
 
             lax.fori_loop(lo, hi, body, (), unroll=False)
 
-    phase(kv1_hbm, r1_start_ref[seg], r1_end_ref[seg])
-    phase(kv2_hbm, r2_start_ref[seg], r2_end_ref[seg])
+    phase(kv1_hbm, r1s, r1e)
+    phase(kv2_hbm, r2s, r2e)
 
     _o_epilogue(o_ref, acc_scr, l_scr, q_per_kv=q_per_kv)
 
@@ -950,6 +1046,7 @@ def segmented_attention_two_source(
     #                    sin f32 [total_q, rot], cos f32 [total_q, rot],
     #                    ln_eps) — q arrives RAW; the kernel applies the
     #                    fp32 QK-layernorm + rotary in its prologue
+    unified: Optional[bool] = None,  # see unified_stream_default
 ) -> jax.Array:
     total_q, hq, hd = q.shape
     _, hk, kv1_len, _ = kv1.shape
@@ -1039,6 +1136,7 @@ def segmented_attention_two_source(
     kernel = functools.partial(
         _seg_attn_kernel_two_source, sm_scale=sm_scale, block_k=block_k,
         q_per_kv=q_per_kv, fused_rot=fused_rot, ln_eps=float(ln_eps),
+        unified=unified_stream_default() if unified is None else unified,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

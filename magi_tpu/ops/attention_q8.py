@@ -58,6 +58,7 @@ from magi_tpu.ops.attention import (
     auto_blocks,
     _q_prologue,
     segmented_attention_two_source_reference,
+    unified_stream_default,
 )
 
 SCHEMES = ("sage", "qk8", "dq")
@@ -142,6 +143,7 @@ def _seg_attn_kernel_two_source_q8(
     fused_rot: int = 0,
     fused_norm: bool = False,
     ln_eps: float = 1e-6,
+    unified: bool = True,
 ):
     has_sq = scheme != "dq"
     n_extra = 1 if has_sq else 0
@@ -166,44 +168,42 @@ def _seg_attn_kernel_two_source_q8(
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    if scheme == "dq":
-        _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
-                    q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
-                    fused_norm=fused_norm)
-    else:
-        _q_prologue_q8(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr, sq_scr,
-                       q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
-                       fused_norm=fused_norm, sm_scale=sm_scale)
+    def prologue():
+        if scheme == "dq":
+            _q_prologue(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                        q_per_kv=q_per_kv, rot=fused_rot, ln_eps=ln_eps,
+                        fused_norm=fused_norm)
+        else:
+            _q_prologue_q8(q_ref, qw_ref, qb_ref, sin_ref, cos_ref, q_scr,
+                           sq_scr, q_per_kv=q_per_kv, rot=fused_rot,
+                           ln_eps=ln_eps, fused_norm=fused_norm,
+                           sm_scale=sm_scale)
 
     repeats = block_k // NUM_LANES
 
-    def phase(src_hbm, sk_hbm, sv_hbm, start, end):
-        lo = start // block_k
-        hi = lax.div(end + block_k - 1, block_k)
+    def copies(slot, src_hbm, sk_hbm, sv_hbm, tile):
+        off = pl.multiple_of(tile * block_k, block_k)
+        # Scale arrays are pre-shaped [hk, n_tiles, bk//128, 128] so
+        # the per-tile copy slices the LAST TWO dims fully — Mosaic
+        # accepts full last-two-dim slices for any block_k, while a
+        # (1, block_k) lane-vector or [block_k, 1] column slice trips
+        # the (8, 128)/128-lane tiling rules (observed on chip).
+        return (
+            pltpu.make_async_copy(
+                src_hbm.at[0, kv_head, pl.ds(off, block_k), :],
+                k_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                src_hbm.at[1, kv_head, pl.ds(off, block_k), :],
+                v_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                sk_hbm.at[kv_head, tile],
+                sk_buf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(
+                sv_hbm.at[kv_head, tile],
+                sv_buf.at[slot], sems.at[slot, 3]),
+        )
 
-        def dma(slot, tile):
-            off = pl.multiple_of(tile * block_k, block_k)
-            # Scale arrays are pre-shaped [hk, n_tiles, bk//128, 128] so
-            # the per-tile copy slices the LAST TWO dims fully — Mosaic
-            # accepts full last-two-dim slices for any block_k, while a
-            # (1, block_k) lane-vector or [block_k, 1] column slice trips
-            # the (8, 128)/128-lane tiling rules (observed on chip).
-            return (
-                pltpu.make_async_copy(
-                    src_hbm.at[0, kv_head, pl.ds(off, block_k), :],
-                    k_buf.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    src_hbm.at[1, kv_head, pl.ds(off, block_k), :],
-                    v_buf.at[slot], sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    sk_hbm.at[kv_head, tile],
-                    sk_buf.at[slot], sems.at[slot, 2]),
-                pltpu.make_async_copy(
-                    sv_hbm.at[kv_head, tile],
-                    sv_buf.at[slot], sems.at[slot, 3]),
-            )
-
-        def tile_compute(i, slot, masked: bool):
+    def _tile_compute(i, slot, start, end, masked: bool):
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
 
             # ---- first matmul + dequant -> f32 exp2-domain logits -------
@@ -324,41 +324,109 @@ def _seg_attn_kernel_two_source_q8(
                 )
             acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + o_curr
 
-        @pl.when(lo < hi)
+    r1s, r1e = r1_start_ref[seg], r1_end_ref[seg]
+    r2s, r2e = r2_start_ref[seg], r2_end_ref[seg]
+
+    if unified:
+        # ---- single continuous stream over both sources (see the bf16
+        # kernel, ops/attention.py): no pipeline drain at the source
+        # boundary; first tile's DMA issued before the q prologue ---------
+        lo1 = r1s // block_k
+        n1 = jnp.where(r1e > r1s, lax.div(r1e + block_k - 1, block_k) - lo1, 0)
+        lo2 = r2s // block_k
+        n2 = jnp.where(r2e > r2s, lax.div(r2e + block_k - 1, block_k) - lo2, 0)
+        total = n1 + n2
+
+        def dma_io(slot, j, op):
+            @pl.when(j < n1)
+            def _():
+                for c in copies(slot, kv1_hbm, sk1_hbm, sv1_hbm, lo1 + j):
+                    getattr(c, op)()
+
+            @pl.when(j >= n1)
+            def _():
+                for c in copies(slot, kv2_hbm, sk2_hbm, sv2_hbm, lo2 + j - n1):
+                    getattr(c, op)()
+
+        @pl.when(total > 0)
         def _():
-            for c in dma(0, lo):
-                c.start()
+            dma_io(0, 0, "start")
 
-            def body(i, _):
-                slot = lax.rem(i - lo, 2)
-                nxt = lax.rem(i - lo + 1, 2)
+        prologue()
 
-                @pl.when(i + 1 < hi)
+        @pl.when(total > 0)
+        def _():
+            def body(j, _):
+                slot = lax.rem(j, 2)
+
+                @pl.when(j + 1 < total)
                 def _():
-                    for c in dma(nxt, i + 1):
-                        c.start()
+                    dma_io(lax.rem(j + 1, 2), j + 1, "start")
 
-                for c in dma(slot, i):
-                    c.wait()
+                dma_io(slot, j, "wait")
 
+                in1 = j < n1
+                tile = jnp.where(in1, lo1 + j, lo2 + j - n1)
+                start = jnp.where(in1, r1s, r2s)
+                end = jnp.where(in1, r1e, r2e)
                 is_boundary = jnp.logical_or(
-                    i * block_k < start, (i + 1) * block_k > end
+                    tile * block_k < start, (tile + 1) * block_k > end
                 )
 
                 @pl.when(is_boundary)
                 def _():
-                    tile_compute(i, slot, masked=True)
+                    _tile_compute(tile, slot, start, end, masked=True)
 
                 @pl.when(jnp.logical_not(is_boundary))
                 def _():
-                    tile_compute(i, slot, masked=False)
+                    _tile_compute(tile, slot, start, end, masked=False)
 
                 return ()
 
-            lax.fori_loop(lo, hi, body, (), unroll=False)
+            lax.fori_loop(0, total, body, (), unroll=False)
+    else:
+        # ---- split-phase path (MAGI_ATTN_UNIFIED_STREAM=0, chip A/B) ----
+        prologue()
 
-    phase(kv1_hbm, sk1_hbm, sv1_hbm, r1_start_ref[seg], r1_end_ref[seg])
-    phase(kv2_hbm, sk2_hbm, sv2_hbm, r2_start_ref[seg], r2_end_ref[seg])
+        def phase(src_hbm, sk_hbm, sv_hbm, start, end):
+            lo = start // block_k
+            hi = lax.div(end + block_k - 1, block_k)
+
+            @pl.when(lo < hi)
+            def _():
+                for c in copies(0, src_hbm, sk_hbm, sv_hbm, lo):
+                    c.start()
+
+                def body(i, _):
+                    slot = lax.rem(i - lo, 2)
+                    nxt = lax.rem(i - lo + 1, 2)
+
+                    @pl.when(i + 1 < hi)
+                    def _():
+                        for c in copies(nxt, src_hbm, sk_hbm, sv_hbm, i + 1):
+                            c.start()
+
+                    for c in copies(slot, src_hbm, sk_hbm, sv_hbm, i):
+                        c.wait()
+
+                    is_boundary = jnp.logical_or(
+                        i * block_k < start, (i + 1) * block_k > end
+                    )
+
+                    @pl.when(is_boundary)
+                    def _():
+                        _tile_compute(i, slot, start, end, masked=True)
+
+                    @pl.when(jnp.logical_not(is_boundary))
+                    def _():
+                        _tile_compute(i, slot, start, end, masked=False)
+
+                    return ()
+
+                lax.fori_loop(lo, hi, body, (), unroll=False)
+
+        phase(kv1_hbm, sk1_hbm, sv1_hbm, r1s, r1e)
+        phase(kv2_hbm, sk2_hbm, sv2_hbm, r2s, r2e)
 
     # epilogue: identical to the bf16 kernel's _o_epilogue
     rows, head_dim = acc_scr.shape
@@ -395,6 +463,7 @@ def segmented_attention_two_source_q8(
     interpret: bool = False,
     q_prologue=None,  # (qln_w, qln_b, sin, cos, ln_eps) — as the bf16 kernel
     scheme: Optional[str] = None,
+    unified: Optional[bool] = None,  # see attention.unified_stream_default
 ) -> jax.Array:
     total_q, hq, hd = q.shape
     _, hk, kv1_len, _ = kv1.shape
@@ -502,6 +571,7 @@ def segmented_attention_two_source_q8(
         _seg_attn_kernel_two_source_q8, sm_scale=sm_scale, block_k=block_k,
         q_per_kv=q_per_kv, scheme=scheme, fused_rot=fused_rot,
         fused_norm=fused_norm, ln_eps=float(ln_eps),
+        unified=unified_stream_default() if unified is None else unified,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -116,6 +116,7 @@ def _config_key(config: MagiConfig) -> str:
             os.environ.get("MAGI_ATTN_Q8_SCHEME", "qk8"),
             os.environ.get("MAGI_QMM_IMPL", "xla"),
             os.environ.get("MAGI_FUSED_ACT_QUANT", "0"),
+            os.environ.get("MAGI_ATTN_UNIFIED_STREAM", "0"),
         )
     )
 

@@ -189,6 +189,59 @@ def test_kv_norm_rope_pack_quantized_matches_separate_quantize(rng):
         assert (np.abs(got_dq - want_dq) <= 1.5 * quantum + 1e-6).all()
 
 
+def test_unified_stream_bitequal_split_bf16(rng):
+    """The unified single-loop DMA stream visits tiles in the same order as
+    the split-phase path -> outputs must be BIT-equal, across empty /
+    mid-tile / boundary-crossing range patterns."""
+    cases = [
+        # (n_seg, seg_len, L1, L2, r1, r2)
+        (2, 128, 256, 256, [(0, 256), (0, 256)], [(0, 128), (0, 256)]),
+        (3, 130, 128, 390, [(0, 0)] * 3, [(i * 130, (i + 1) * 130) for i in range(3)]),
+        (2, 128, 256, 256, [(128, 256), (256, 256)], [(0, 128), (0, 256)]),
+        (2, 90, 200, 180, [(0, 150), (10, 200)], [(0, 90), (0, 180)]),
+        (2, 128, 256, 256, [(200, 200), (0, 256)], [(0, 256), (70, 70)]),
+        (1, 128, 128, 128, [(0, 0)], [(0, 0)]),
+    ]
+    for n_seg, seg_len, L1, L2, r1, r2 in cases:
+        q, kv1, kv2 = make(rng, n_seg, seg_len, L1, L2, 4, 2, 64)
+        rs = [jnp.asarray(x, jnp.int32) for x in
+              ([a for a, _ in r1], [b for _, b in r1],
+               [a for a, _ in r2], [b for _, b in r2])]
+        uni = ATTN(q, kv1, kv2, *rs, seg_len=seg_len, unified=True)
+        split = ATTN(q, kv1, kv2, *rs, seg_len=seg_len, unified=False)
+        np.testing.assert_array_equal(np.asarray(uni), np.asarray(split))
+
+
+def test_unified_stream_bitequal_split_q8(rng):
+    """Same bit-equality for the int8 two-source kernel, all three schemes."""
+    from magi_tpu.ops.attention_q8 import (
+        quantize_kv_per_token,
+        segmented_attention_two_source_q8,
+    )
+
+    n_seg, seg_len, L1, L2, hq, hk, hd = 2, 96, 256, 192, 4, 2, 128
+    q = jnp.asarray(rng.normal(size=(n_seg * seg_len, hq, hd)), jnp.bfloat16)
+    kv1, sc1 = quantize_kv_per_token(
+        jnp.asarray(rng.normal(size=(2, hk, L1, hd)), jnp.float32))
+    kv2, sc2 = quantize_kv_per_token(
+        jnp.asarray(rng.normal(size=(2, hk, L2, hd)), jnp.float32))
+    for r1, r2 in [
+        ([(0, 256), (0, 256)], [(0, 96), (0, 192)]),
+        ([(0, 0), (130, 130)], [(0, 96), (50, 192)]),
+    ]:
+        rs = [jnp.asarray(x, jnp.int32) for x in
+              ([a for a, _ in r1], [b for _, b in r1],
+               [a for a, _ in r2], [b for _, b in r2])]
+        for scheme in ("qk8", "dq", "sage"):
+            kw = dict(seg_len=seg_len, scheme=scheme, interpret=True,
+                      block_q=64, block_k=128)
+            uni = segmented_attention_two_source_q8(
+                q, kv1, sc1, kv2, sc2, *rs, unified=True, **kw)
+            split = segmented_attention_two_source_q8(
+                q, kv1, sc1, kv2, sc2, *rs, unified=False, **kw)
+            np.testing.assert_array_equal(np.asarray(uni), np.asarray(split))
+
+
 def test_attention_cached_accepts_prequantized_kv_dict(rng, monkeypatch):
     """_attention_cached with kv_cur as a {kv, scale} dict (the fused
     pack's output) == the same call with the bf16 kv quantized inside."""
