@@ -12,16 +12,16 @@ from tests.test_transport import make_input
 from tests.tiny import tiny_config
 
 
-def _walks(cfg_kwargs, prefix_frames=0):
+def _walks(cfg_kwargs, prefix_frames=0, n_chunks=2):
     cfg_a = tiny_config(**cfg_kwargs)
     cfg_b = tiny_config(**cfg_kwargs)
     cfg_b.engine_config.kv_offload = True
     assert not cfg_a.runtime_config.noise2clean_kvrange  # default ranges
     params = init_dit_params(jax.random.PRNGKey(0), cfg_a)
-    sa = ArdfSampler(cfg_a, params, make_input(cfg_a, 2, prefix_frames=prefix_frames), jax.random.PRNGKey(7))
+    sa = ArdfSampler(cfg_a, params, make_input(cfg_a, n_chunks, prefix_frames=prefix_frames), jax.random.PRNGKey(7))
     assert not sa.host_mode
     ref = [c for _, c in sa.walk()]
-    sb = ArdfSampler(cfg_b, params, make_input(cfg_b, 2, prefix_frames=prefix_frames), jax.random.PRNGKey(7))
+    sb = ArdfSampler(cfg_b, params, make_input(cfg_b, n_chunks, prefix_frames=prefix_frames), jax.random.PRNGKey(7))
     assert sb.host_mode and sb.cache is None
     got = [c for _, c in sb.walk()]
     assert len(ref) == len(got) > 0
@@ -41,6 +41,15 @@ def test_host_offload_cfg3_v2v_prefix_matches():
 
 def test_host_offload_cfg1_distill_matches():
     _walks({"engine": {"distill": True}, "runtime": {"cfg_number": 1, "num_steps": 4, "window_size": 2}})
+
+
+def test_host_offload_long_horizon_matches():
+    """8-chunk distill walk (the BASELINE config-#5 shape at tiny scale):
+    the attended span and the streamed host cache grow chunk by chunk —
+    every chunk position must still match the in-HBM walk."""
+    _walks({"engine": {"distill": True},
+            "runtime": {"cfg_number": 1, "num_steps": 4, "window_size": 2}},
+           n_chunks=8)
 
 
 def test_host_offload_attn_int8_matches(monkeypatch):
