@@ -119,12 +119,16 @@ def main() -> None:
         sync()
         times = []
         emitted = 0
-        for step in range(s.total_forward_steps()):
+        n_steps = s.total_forward_steps()
+        for step in range(n_steps):
             t1 = time.perf_counter()
             if s.do_step(step) is not None:
                 emitted += 1
             sync()
             times.append(time.perf_counter() - t1)
+            if step % 16 == 0 or step == n_steps - 1:
+                print(f"  [{tag}] step {step+1}/{n_steps}: {times[-1]:.2f}s",
+                      file=sys.stderr)
         xs = np.asarray(s.xs)
         total = sum(times)
         # per-chunk-position medians show whether step time grows with
