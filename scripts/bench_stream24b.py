@@ -159,6 +159,12 @@ def main() -> None:
                 nbytes / 2**30 / float(np.mean(steady)), 2)
         out["runs"][tag] = rec
         print(json.dumps({tag: rec}), file=sys.stderr)
+        # persist final latents + the record: modes can then run in SEPARATE
+        # invocations (the walk is deterministic: seeded inputs + PRNGKey(7))
+        # and still be compared / merged — a 16-chunk mode at 24B can exceed
+        # one process's timeout budget on cold compiles
+        np.savez(f"/tmp/stream24b_{tag}.npz", xs=np.asarray(xs, np.float32),
+                 rec=json.dumps(rec))
         del s
         return xs
 
@@ -174,11 +180,26 @@ def main() -> None:
             traceback.print_exc()  # full allocation detail for OOMs
             return None
 
+    def _load_prior(tag):
+        # a mode measured by a PREVIOUS invocation (same seeds): merge its
+        # record and return its latents for the cross-mode comparison
+        path = f"/tmp/stream24b_{tag}.npz"
+        if os.path.exists(path):
+            d = np.load(path, allow_pickle=True)
+            out["runs"][tag] = json.loads(str(d["rec"]))
+            out["runs"][tag]["from_prior_invocation"] = True
+            return d["xs"]
+        return None
+
     xs_a = xs_b = None
     if "A" in modes:
         xs_a = safe("A_streamed_default_ranges", None, True)
+    else:
+        xs_a = _load_prior("A_streamed_default_ranges")
     if "B" in modes:
         xs_b = safe("B_inHBM_default_ranges", None, False)
+    else:
+        xs_b = _load_prior("B_inHBM_default_ranges")
     if "C" in modes:
         safe("C_sliding_noise2clean", n2c_released, True)
 
