@@ -186,11 +186,39 @@ def convert_hf_t5_state(state: dict, cfg: T5Config, dtype=jnp.bfloat16) -> dict:
 # ---------------------------------------------------------------------------
 # caption cleaning (ref: t5_model.py:152-278)
 # ---------------------------------------------------------------------------
+#
+# The regex constants below ARE the spec: the released checkpoints were
+# trained on captions cleaned with exactly these rules (the widely-shared
+# PixArt/DALLE cleaning pipeline), so producing the same cleaned string —
+# byte for byte — is required for identical T5 embeddings and therefore
+# identical videos.  Rule order matters and is preserved 1:1
+# (golden-tested against the importable reference cleaner in
+# tests/test_t5.py::test_clean_caption_matches_reference).
 
 _BAD_PUNCT = re.compile(r"[#®•©™&@·º½¾¿¡§~\)\(\]\[\}\{\|\\/\*]{1,}")
 
+# 31C0—31EF CJK Strokes .. 4E00—9FFF CJK Unified Ideographs
+# (ref: t5_model.py:189-203 — seven unicode-block strips)
+_CJK_BLOCKS = (
+    r"[\u31c0-\u31ef]+",
+    r"[\u31f0-\u31ff]+",
+    r"[\u3200-\u32ff]+",
+    r"[\u3300-\u33ff]+",
+    r"[\u3400-\u4dbf]+",
+    r"[\u4dc0-\u4dff]+",
+    r"[\u4e00-\u9fff]+",
+)
+
+# all dash codepoints -> "-" (ref: t5_model.py:206-210)
+_DASHES = (
+    r"[\u002D\u058A\u05BE\u1400\u1806\u2010-\u2015\u2E17\u2E1A\u2E3A"
+    r"\u2E3B\u2E40\u301C\u3030\u30A0\uFE31\uFE32\uFE58\uFE63\uFF0D]+"
+)
+
 
 def basic_clean(text: str) -> str:
+    """(ref: t5_model.py:161-166).  ftfy is optional in this environment;
+    its mojibake repair is identity on well-formed input."""
     try:
         import ftfy
 
@@ -202,30 +230,89 @@ def basic_clean(text: str) -> str:
 
 
 def clean_caption(caption: str) -> str:
-    """Functional mirror of the reference cleaning pipeline
-    (ref: t5_model.py:167-278): lowercase, strip urls/html/handles/bad
-    punctuation/extra whitespace."""
-    caption = str(caption).strip().lower()
+    """Full mirror of the reference cleaning pipeline (ref:
+    t5_model.py:167-278) — every rule, in the reference's order."""
+    import urllib.parse as ul
+
+    caption = str(caption)
+    caption = ul.unquote_plus(caption)
+    caption = caption.strip().lower()
     caption = re.sub("<person>", "person", caption)
-    caption = re.sub(r"\b((?:https?:(?:\/{1,3}|[a-zA-Z0-9%])|[a-zA-Z0-9.\-]+[.](?:com|co|ru|net|org|edu|gov|it)[\w/-]*\b\/?(?!@)))", "", caption)
+    # urls (two passes: https?: and www: forms)
+    caption = re.sub(
+        r"\b((?:https?:(?:\/{1,3}|[a-zA-Z0-9%])|[a-zA-Z0-9.\-]+[.](?:com|co|ru|net|org|edu|gov|it)[\w/-]*\b\/?(?!@)))",
+        "",
+        caption,
+    )
+    caption = re.sub(
+        r"\b((?:www:(?:\/{1,3}|[a-zA-Z0-9%])|[a-zA-Z0-9.\-]+[.](?:com|co|ru|net|org|edu|gov|it)[\w/-]*\b\/?(?!@)))",
+        "",
+        caption,
+    )
+    # html
     try:
         from bs4 import BeautifulSoup
 
         caption = BeautifulSoup(caption, features="html.parser").text
     except ImportError:
         caption = re.sub(r"<[^>]+>", "", caption)
+    # @<nickname>
     caption = re.sub(r"@[\w\d]+\b", "", caption)
-    caption = basic_clean(caption)
+    # CJK unicode blocks
+    for block in _CJK_BLOCKS:
+        caption = re.sub(block, "", caption)
+    # all dash variants -> "-"; quotes to one standard
+    caption = re.sub(_DASHES, "-", caption)
+    caption = re.sub(r"[`´«»“”¨]", '"', caption)
+    caption = re.sub(r"[‘’]", "'", caption)
+    # html entities left after unescape
     caption = re.sub(r"&quot;?", "", caption)
     caption = re.sub(r"&amp", "", caption)
-    caption = re.sub(r"\d{5,}\b", "", caption)  # long digit runs
+    # ip addresses
+    caption = re.sub(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", " ", caption)
+    # article ids at end
+    caption = re.sub(r"\d:\d\d\s+$", "", caption)
+    # literal \n
+    caption = re.sub(r"\\n", " ", caption)
+    # "#123", "#12345..", bare long digit runs, filenames
+    caption = re.sub(r"#\d{1,3}\b", "", caption)
+    caption = re.sub(r"#\d{5,}\b", "", caption)
+    caption = re.sub(r"\b\d{6,}\b", "", caption)
+    caption = re.sub(r"[\S]+\.(?:png|jpg|jpeg|bmp|webp|eps|pdf|apk|mp4)", "", caption)
+    # repeated quotes/dots, bad punctuation, " . "
+    caption = re.sub(r"[\"\']{2,}", r'"', caption)
+    caption = re.sub(r"[\.]{2,}", r" ", caption)
     caption = _BAD_PUNCT.sub(r" ", caption)
     caption = re.sub(r"\s+\.\s+", r" ", caption)
-    caption = re.sub(r"(?:\-|\–|\—|\~){1,}", " ", caption)
-    caption = re.sub(r"(?:\.{2,}|\!{2,}|\?{2,})", lambda m: m.group(0)[0], caption)
+    # this-is-my-cute-cat / this_is_my_cute_cat
+    regex2 = re.compile(r"(?:\-|\_)")
+    if len(re.findall(regex2, caption)) > 3:
+        caption = re.sub(regex2, " ", caption)
+    caption = basic_clean(caption)
+    # alphanumeric id tokens (jc6640 / jc6640vc / 6640vc231)
+    caption = re.sub(r"\b[a-zA-Z]{1,3}\d{3,15}\b", "", caption)
+    caption = re.sub(r"\b[a-zA-Z]+\d+[a-zA-Z]+\b", "", caption)
+    caption = re.sub(r"\b\d+[a-zA-Z]+\d+\b", "", caption)
+    # commerce boilerplate
+    caption = re.sub(r"(worldwide\s+)?(free\s+)?shipping", "", caption)
+    caption = re.sub(r"(free\s)?download(\sfree)?", "", caption)
+    caption = re.sub(r"\bclick\b\s(?:for|on)\s\w+", "", caption)
+    caption = re.sub(r"\b(?:png|jpg|jpeg|bmp|webp|eps|pdf|apk|mp4)(\simage[s]?)?", "", caption)
+    caption = re.sub(r"\bpage\s+\d+\b", "", caption)
+    caption = re.sub(r"\b\d*[a-zA-Z]+\d+[a-zA-Z]+\d+[a-zA-Z\d]*\b", r" ", caption)  # j2d1a2a...
+    # dimensions 123x456 (incl. cyrillic х and ×)
+    caption = re.sub(r"\b\d+\.?\d*[xх×]\d+\.?\d*\b", "", caption)
+    # punctuation spacing + whitespace collapse
+    caption = re.sub(r"\b\s+\:\s+", r": ", caption)
+    caption = re.sub(r"(\D[,\./])\b", r"\1 ", caption)
     caption = re.sub(r"\s+", " ", caption)
-    caption = caption.strip()
-    return caption
+    # (the reference calls caption.strip() here without assignment — a
+    # no-op kept out; the final strip below is the effective one)
+    caption = re.sub(r"^[\"\']([\w\W]+)[\"\']$", r"\1", caption)
+    caption = re.sub(r"^[\'\_,\-\:;]", r"", caption)
+    caption = re.sub(r"[\'\_,\-\:\-\+]$", r"", caption)
+    caption = re.sub(r"^\.\S+$", "", caption)
+    return caption.strip()
 
 
 def text_preprocessing(text: str, enabled: bool = True) -> str:

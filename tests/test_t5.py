@@ -62,9 +62,93 @@ def test_random_init_forward():
 
 
 def test_clean_caption():
-    assert clean_caption("Hello <person> visit https://example.com NOW!!") == "hello person visit now!"
+    # the reference pipeline does NOT collapse repeated "!": stays "now!!"
+    assert clean_caption("Hello <person> visit https://example.com NOW!!") == "hello person visit now!!"
     assert clean_caption("a   b  c") == "a b c"
     assert text_preprocessing("MiXeD CaSe", enabled=False) == "mixed case"
+
+
+# Adversarial corpus covering every rule family in the reference cleaner
+# (ref: t5_model.py:167-278): %-encoding, CJK blocks, dash/quote variants,
+# urls (both regexes), html, handles, ip/article ids, filenames, id tokens,
+# commerce boilerplate, dimensions, punctuation spacing, edge trims.
+_GOLDEN_CAPTIONS = [
+    "Hello <person> visit https://example.com NOW!!",
+    "a%20cat%2Bdog+jump",  # unquote_plus: %20 -> space, + -> space
+    "日本語のキャプション with 中文字符 and ascii",  # CJK strips
+    "em—dash en–dash figure‒dash swung〜wave〰 minus−keep",  # dash unify
+    "«quoted» “curly” ‘single’ `backtick´",  # quote standardization
+    "&amp;quot;double escaped&amp;quot; &lt;b&gt;bold&lt;/b&gt;",
+    "<b>bold</b> <i>ital</i> plain",  # bs4 html
+    "ping 192.168.1.1 now",  # ip address
+    "breaking news 4:35  ",  # article id at end
+    "line one\\nline two",  # literal \n
+    "issue #42 and #123456 and 9876543 plain",  # hash/digit rules
+    "see photo.jpg and clip.mp4 files",  # filenames + ext words
+    '""AUSVERKAUFT"" and ... dots',  # repeated quotes/dots
+    "***stars*** #hash {brace} [bracket]",  # bad punct
+    "this-is-my-cute-cat",  # >3 dashes -> spaces
+    "this_is_my_cute_cat_video",  # >3 underscores
+    "item jc6640 and jc6640vc and 6640vc231",  # id tokens
+    "worldwide free shipping free download click for more",
+    "photo 1920x1080 and 4.5х3.2 sizes",  # x / cyrillic х dims
+    "title : subtitle and a,b c.d",  # colon/comma spacing
+    "'quoted caption'",  # edge quote strip
+    ",leading comma and trailing dash-",
+    ".singleword",
+    "page 12 of document j2d1a2a codes",
+    "visit www.example.org/path today",  # www url (second regex)
+    "UPPER Case  MiXeD\twhitespace\n\ncollapse",
+    "",  # empty
+    "   ",  # whitespace only
+]
+
+
+def test_clean_caption_matches_reference():
+    """Byte-equality golden test against the ACTUAL reference cleaner
+    (ref: t5_model.py:167-278), imported with an identity-ftfy stub (ftfy
+    is absent in this environment; our basic_clean degrades identically)."""
+    import os
+    import sys
+    import types
+
+    pytest.importorskip("torch")
+    pytest.importorskip("bs4")
+    if not os.path.isdir("/root/reference/inference"):
+        pytest.skip("reference not available")
+
+    created = []
+    for name, attrs in (
+        ("ftfy", {"fix_text": lambda s: s}),
+        ("huggingface_hub", {"hf_hub_download": lambda *a, **k: None}),
+    ):
+        if name in sys.modules:
+            continue
+        try:
+            __import__(name)
+        except ImportError:
+            import importlib.machinery
+
+            stub = types.ModuleType(name)
+            stub.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+            for k, v in attrs.items():
+                setattr(stub, k, v)
+            sys.modules[name] = stub
+            created.append(name)
+    try:
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        import importlib
+
+        ref_t5 = importlib.import_module("inference.model.t5.t5_model")
+        ref = object.__new__(ref_t5.T5Embedder)  # clean_caption needs no __init__
+        for text in _GOLDEN_CAPTIONS:
+            want = ref.clean_caption(ref.clean_caption(text))
+            got = text_preprocessing(text)
+            assert got == want, f"caption cleaning diverged on {text!r}:\n ref={want!r}\n got={got!r}"
+    finally:
+        for name in created:
+            del sys.modules[name]
 
 
 def test_staged_device_encode_frees_accelerator():
