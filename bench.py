@@ -84,15 +84,19 @@ def _steady_walk_fps(config, params, inp, key, temporal_up):
     sampler.prepare()
     sync()
     groups = collections.defaultdict(list)
+    records = []  # (step_idx, group, wall_s, emitted) — outlier forensics
     n_emitted = 0
     for step in range(sampler.total_forward_steps()):
         dpss, didx, c_start, c_end, _, _ = sampler._status(step)
         gkey = (c_end - c_start, didx == 0 and c_start > sampler.chunk_offset)
         t0 = time.perf_counter()
-        if sampler.do_step(step) is not None:
+        emitted = sampler.do_step(step) is not None
+        if emitted:
             n_emitted += 1
         sync()
-        groups[gkey].append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        groups[gkey].append(dt)
+        records.append((step, f"w{gkey[0]}{'x' if gkey[1] else ''}", round(dt, 3), emitted))
     steady_total = sum(sum(v) for v in groups.values())
     frames = n_emitted * config.runtime_config.chunk_width * temporal_up
     detail = {
@@ -100,6 +104,16 @@ def _steady_walk_fps(config, params, inp, key, temporal_up):
         for k, v in sorted(groups.items())
     }
     print(json.dumps({"variants_warmed": n_var, "per_group_min_max_n": detail}), file=sys.stderr)
+    # per-step trace: any step >1.25x its group median is an outlier worth
+    # explaining (VERDICT r4 weak #2 — the bf16 w4 5.8-11.0s spread)
+    med = {k: sorted(v)[len(v) // 2] for k, v in groups.items()}
+    outliers = [
+        r for r in records
+        if r[2] > 1.25 * med[(int(r[1][1]), r[1].endswith("x"))]
+    ]
+    print(json.dumps({"per_step": records}), file=sys.stderr)
+    if outliers:
+        print(json.dumps({"outlier_steps": outliers}), file=sys.stderr)
     return frames / steady_total, steady_total, sampler.total_forward_steps(), frames
 
 
@@ -230,6 +244,19 @@ def main() -> None:
         finally:
             os.environ["MAGI_ATTN_INT8"] = "0"
 
+    # --- plain-w8a8 FULL schedule (VERDICT r4 weak #4: the missing cell of
+    # the 2x3 schedule x quantization matrix — bf16 attention, int8 linears)
+    fps_full_i8 = None
+    if fast and fps_fast_i8 is not None and os.environ.get("MAGI_BENCH_FULL_INT8", "1") == "1":
+        try:
+            cfg_fi = _flagship_config()
+            inp6 = _build(cfg_fi, chunk_num, full_steps, full_window)
+            fps_full_i8, _, _, _ = _steady_walk_fps(
+                cfg_fi, qp, inp6, jax.random.PRNGKey(7), up
+            )
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"full_int8_error": repr(e)[:300]}), file=sys.stderr)
+
     vs_baseline = (fps_full / ref_fps_full) if on_tpu else 1.0
     result = {
         "metric": (
@@ -251,6 +278,12 @@ def main() -> None:
         result["fast_schedule_int8_attn_fps"] = round(fps_fast_i8a, 4)
     if fps_full_i8a is not None:
         result["full_schedule_int8_attn_fps"] = round(fps_full_i8a, 4)
+    if fps_full_i8 is not None:
+        result["full_schedule_int8_fps"] = round(fps_full_i8, 4)
+    if on_tpu:
+        # vs_baseline is an ESTIMATE (no published reference throughput):
+        # measured fps / a 45%-MFU RTX-4090 model of the same schedule
+        result["vs_baseline_is_estimate"] = True
     print(json.dumps(result))
     print(
         json.dumps(

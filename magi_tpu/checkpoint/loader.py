@@ -75,8 +75,23 @@ def load_state_dict(load_dir: str, fp8_quant: bool = False, distill: bool = Fals
 
 
 def _dequant_fp8(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Fold per-tensor/channel fp8 scales back into bf16 weights
-    (ref: PerTensor/PerChannelQuantizedFp8Linear, dit_module.py:431-487)."""
+    """Exactly invert the reference's fp8 execution math to recover the
+    effective bf16 weight (ref: PerTensor/PerChannelQuantizedFp8Linear,
+    dit_module.py:431-487).  The two classes store DIFFERENT things:
+
+    * PerTensor (q/qx/k/v, ref :407): forward is
+      ``[e4m3(x / input_scale) @ Wq^T] * input_scale * weight_scale`` —
+      input_scale cancels (it only sets the activation's fp8 range), so
+      the effective weight is ``Wq * weight_scale``.
+    * PerChannel / smooth-quant (proj, kv_xattn, fc1, fc2, ref :462-487):
+      forward is ``[e4m3(x / smooth_scale) @ Wq^T] * input_scale *
+      weight_scale`` — the stored Wq is SMOOTH-FOLDED, so the effective
+      weight is ``Wq * weight_scale * input_scale / smooth_scale[in]``.
+      Folding only weight_scale would reconstruct ``smooth ⊙ W`` and
+      silently corrupt every per-channel linear.
+
+    Validated against a numpy emulation of the reference forward in
+    scripts/ab_fp8_quality.py + tests/test_checkpoint.py."""
     out = dict(state)
     for k in list(state.keys()):
         if k.endswith(".weight_scale"):
@@ -84,9 +99,26 @@ def _dequant_fp8(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             w = state.get(base + ".weight")
             if w is None:
                 continue
+            # stored layout is [1, out, in] (ref: dit_module.py:441,472)
             wf = w.astype(np.float32).reshape(w.shape[-2:]) if w.ndim == 3 else w.astype(np.float32)
-            out[base + ".weight"] = (wf * state[k].astype(np.float32)).astype(np.float32)
-            out.pop(k, None)
+            wf = wf * state[k].astype(np.float32).reshape(-1)[0]
+            smooth = state.get(base + ".smooth_scale")
+            if smooth is not None:
+                inp = state.get(base + ".input_scale")
+                i_s = inp.astype(np.float32).reshape(-1)[0] if inp is not None else 1.0
+                wf = wf * i_s
+                wf = wf / smooth.astype(np.float32).reshape(-1)[None, :]
+                # the PURE smoothing factor s (x/s has the activation's own
+                # scale): kept so the int8 execution path can re-fold it —
+                # y = (x/s) @ (s·W) moves activation channel outliers into
+                # the weight exactly as the reference's fp8 path does, and
+                # measures BETTER than fp8 (scripts/ab_fp8_quality.py)
+                out[base + ".act_smooth"] = (
+                    smooth.astype(np.float32).reshape(-1) / i_s
+                ).astype(np.float32)
+            out[base + ".weight"] = wf.astype(np.float32)
+            for aux in (".weight_scale", ".smooth_scale", ".input_scale"):
+                out.pop(base + aux, None)
     return out
 
 
@@ -143,6 +175,28 @@ def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
             "bias": stacked(fmt + ".bias", False, dt),
         }
 
+    def stacked_smooth(fmt: str, transform=None):
+        """Stack per-layer act_smooth vectors emitted by _dequant_fp8 for
+        the smooth-quant (PerChannel) linears.  The reference's fp8 engine
+        skips layers 0 and L-1 (ref: dit_module.py:407) — those layers ship
+        plain bf16 weights with no scales, so they smooth by 1."""
+        present = [i for i in range(L) if fmt.format(i) in state]
+        if not present:
+            return None
+        dim = np.asarray(state[fmt.format(present[0])]).reshape(-1).shape[0]
+        mats = [
+            np.asarray(state[fmt.format(i)], np.float32).reshape(-1)
+            if fmt.format(i) in state
+            else np.ones(dim, np.float32)
+            for i in range(L)
+        ]
+        arr = np.stack(mats)
+        if transform is not None:
+            # the smooth vector indexes the linear's INPUT rows — permute it
+            # exactly as the weight's rows are permuted at load
+            arr = transform(arr[..., None])[..., 0]
+        return jnp.asarray(arr, jnp.float32)
+
     blk = "videodit_blocks.layers.{}."
     att = blk + "self_attention."
     blocks = {
@@ -180,6 +234,18 @@ def convert_dit_state(state: Dict[str, np.ndarray], config: MagiConfig) -> dict:
         },
         "mlp_post_norm": stacked_norm(blk + "mlp_post_norm"),
     }
+
+    # smooth-quant activation factors (fp8 checkpoints only): attach to the
+    # four PerChannel linears (ref: dit_module.py:522,535,875)
+    for node, fmt, transform in (
+        (blocks["self_attention"]["linear_kv_xattn"], att + "linear_kv_xattn.act_smooth", None),
+        (blocks["self_attention"]["linear_proj"], att + "linear_proj.act_smooth", _fold_tp8_interleave),
+        (blocks["mlp"]["linear_fc1"], blk + "mlp.linear_fc1.act_smooth", None),
+        (blocks["mlp"]["linear_fc2"], blk + "mlp.linear_fc2.act_smooth", None),
+    ):
+        sm = stacked_smooth(fmt, transform)
+        if sm is not None:
+            node["act_smooth"] = sm
 
     xw = g("x_embedder.weight")  # [D, C, tp, p, p]
     params = {

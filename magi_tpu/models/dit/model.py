@@ -460,12 +460,31 @@ def _linears_shared(x, plist, act_ok, high_precision: bool = False, kind: str = 
         from magi_tpu.ops.quant import unpack_int4
 
         plist = [
-            {"weight_q": unpack_int4(pp["weight_q4"]), "weight_scale": pp["weight_scale"]}
+            {
+                "weight_q": unpack_int4(pp["weight_q4"]),
+                "weight_scale": pp["weight_scale"],
+                **({"act_smooth": pp["act_smooth"]} if "act_smooth" in pp else {}),
+            }
             for pp in plist
         ]
     if "weight_q" not in plist[0]:
         x = _apply_pre(x, pre, eps)
         return tuple(_dot(x, pp["weight"], high_precision) for pp in plist)
+
+    # smooth-quant (fp8 checkpoints): the quantized weight is smooth-FOLDED
+    # (s·W, quantize_params_* on an act_smooth-carrying tree), so the
+    # activation divides by s here — y = (x/s) @ (s·W).  Moves activation
+    # channel outliers into the weight exactly as the reference's fp8 path
+    # (div_clamp_to by smooth_scale, ref: dit_module.py:462-487) and
+    # measures BETTER than fp8 on the outlier regime (ab_fp8_quality.py).
+    # XLA fuses the divide into the act-quant pass.  Applies to BOTH the
+    # int8 and the dequant branch (both see the folded weight).
+    smooth = plist[0].get("act_smooth")
+    if smooth is not None:
+        assert len(plist) == 1, "smooth-quant linears are singleton groups"
+        x = _apply_pre(x, pre, eps)
+        pre = None
+        x = (x.astype(jnp.float32) * (1.0 / smooth.astype(jnp.float32))).astype(x.dtype)
 
     from magi_tpu.ops.quant import (
         act_quant_rowwise,

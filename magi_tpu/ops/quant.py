@@ -255,6 +255,32 @@ def _quantize_stacked4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 @jax.jit
+def _quantize_stacked_smooth(w: jax.Array, s: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Smooth-folded int8: quantize s[in]·W per layer (execution divides the
+    activation by s — the reference's smooth-quant trick on the int8 MXU,
+    ref: PerChannelQuantizedFp8Linear dit_module.py:462-487)."""
+
+    def one(args):
+        wl, sl = args
+        wf = wl.astype(jnp.float32) * sl[:, None]
+        amax = jnp.max(jnp.abs(wf), axis=0)
+        scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    return lax.map(one, (w, s))
+
+
+@jax.jit
+def _quantize_stacked4_smooth(w: jax.Array, s: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def one(args):
+        wl, sl = args
+        return quantize_int4(wl.astype(jnp.float32) * sl[:, None])
+
+    return lax.map(one, (w, s))
+
+
+@jax.jit
 def _quantize_stacked(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """[L, in, out] -> (int8, scales [L, out]), layer-chunked so the fp32
     temporaries stay one layer wide (a 9GB bf16 4.5B tree quantizes in-place
@@ -301,6 +327,11 @@ def quantize_params_int4(params: dict, keep_edge_bf16: bool = True) -> dict:
 def _quantize_params(params: dict, bits: int, keep_edge_bf16: bool = True) -> dict:
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
 
+    def path_of(path) -> list:
+        return [str(getattr(kk, "key", kk)) for kk in path]
+
+    leaf_by_path = {"/".join(path_of(path)): leaf for path, leaf in flat}
+
     def set_path(tree, keys, value):
         node = tree
         for kk in keys[:-1]:
@@ -309,19 +340,34 @@ def _quantize_params(params: dict, bits: int, keep_edge_bf16: bool = True) -> di
 
     new_tree: dict = {}
     for path, leaf in flat:
-        keys = [str(getattr(kk, "key", kk)) for kk in path]
+        keys = path_of(path)
         path_str = "/".join(keys)
         if any(path_str.endswith(sfx) for sfx in QUANTIZABLE_SUFFIXES) and leaf.ndim == 3:
+            # smooth-quant fold (fp8 checkpoints carry act_smooth — see
+            # checkpoint/loader._dequant_fp8): quantize s·W; execution
+            # divides the activation by s at dispatch (_linears_shared)
+            smooth = leaf_by_path.get("/".join(keys[:-1] + ["act_smooth"]))
             if bits == 8:
-                q, s = _quantize_stacked(leaf)
+                q, s = (
+                    _quantize_stacked(leaf)
+                    if smooth is None
+                    else _quantize_stacked_smooth(leaf, smooth)
+                )
                 set_path(new_tree, keys[:-1] + ["weight_q"], q)
             else:
-                q, s = _quantize_stacked4(leaf)
+                q, s = (
+                    _quantize_stacked4(leaf)
+                    if smooth is None
+                    else _quantize_stacked4_smooth(leaf, smooth)
+                )
                 set_path(new_tree, keys[:-1] + ["weight_q4"], q)
             set_path(new_tree, keys[:-1] + ["weight_scale"], s)
             if keep_edge_bf16:
                 # bf16 copies of the edge layers (ref first/last-layer
-                # policy); keys[0] == "blocks" -> mirror under blocks_edge
+                # policy); keys[0] == "blocks" -> mirror under blocks_edge.
+                # UNFOLDED: edge layers never smooth (the reference ships
+                # them as plain bf16 Linears, ref dit_module.py:407), and
+                # the edge tree carries no act_smooth so no divide happens.
                 inner = keys[1:]
                 set_path(new_tree, ["blocks_edge", "first"] + inner, leaf[0])
                 set_path(new_tree, ["blocks_edge", "last"] + inner, leaf[-1])

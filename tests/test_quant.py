@@ -202,3 +202,62 @@ def test_int4_direct_zero_init_runs():
     assert "blocks_edge" in params
     out = [c for _, c in ArdfSampler(cfg, params, make_input(cfg, 2), jax.random.PRNGKey(7)).walk()]
     assert len(out) == 2 and all(np.isfinite(np.asarray(c)).all() for c in out)
+
+
+def test_smooth_quant_beats_plain_int8_on_outliers():
+    """The smooth-quant fold (act_smooth trees from fp8 checkpoints):
+    y = (x/s) @ int8(s*W) must beat plain per-row int8 when activation
+    channels carry outliers — the regime smooth-quant exists for
+    (ref: PerChannelQuantizedFp8Linear, dit_module.py:462-487)."""
+    from magi_tpu.models.dit.model import _linears_shared
+    from magi_tpu.ops.quant import _quantize_stacked, _quantize_stacked_smooth
+
+    rng = np.random.default_rng(11)
+    L, k, n, m = 2, 256, 192, 64
+    w = jnp.asarray(rng.normal(0, 0.02, (L, k, n)), jnp.float32)
+    x = rng.normal(size=(m, k)).astype(np.float32)
+    hot = rng.choice(k, size=8, replace=False)
+    x[:, hot] *= rng.uniform(30, 80, size=8).astype(np.float32)
+    # alpha=0.5 smooth-quant factors — act_amax^a / w_amax^(1-a), the
+    # balance real calibrations ship (full alpha=1 over-shifts the outliers
+    # into the weight's per-out-channel scales and loses)
+    act_amax = np.abs(x).max(0) + 1e-12
+    w_amax = np.abs(np.asarray(w[0])).max(1) + 1e-12
+    s_np = np.sqrt(act_amax) / np.sqrt(w_amax)
+    s_np /= np.median(s_np)
+    x = jnp.asarray(x)
+    s = jnp.maximum(jnp.asarray(s_np, jnp.float32), 1e-3)[None].repeat(L, 0)
+
+    exact = np.asarray(x) @ np.asarray(w[0])
+
+    qp, sc = _quantize_stacked(w)
+    (y_plain,) = _linears_shared(x, [{"weight_q": qp[0], "weight_scale": sc[0]}], True)
+    qs, scs = _quantize_stacked_smooth(w, s)
+    (y_smooth,) = _linears_shared(
+        x, [{"weight_q": qs[0], "weight_scale": scs[0], "act_smooth": s[0]}], True
+    )
+
+    def rel(y):
+        return np.linalg.norm(np.asarray(y, np.float32) - exact) / np.linalg.norm(exact)
+
+    assert rel(y_smooth) < rel(y_plain), (rel(y_smooth), rel(y_plain))
+    assert rel(y_smooth) < 0.05
+
+
+def test_smooth_quant_int4_fold():
+    """int4 variant of the smooth fold (w4a8 on fp8 checkpoints)."""
+    from magi_tpu.models.dit.model import _linears_shared
+    from magi_tpu.ops.quant import _quantize_stacked4_smooth
+
+    rng = np.random.default_rng(12)
+    L, k, n, m = 2, 128, 64, 32
+    w = jnp.asarray(rng.normal(0, 0.02, (L, k, n)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 2.0, (L, k)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(m, k)), jnp.float32)
+    q4, sc = _quantize_stacked4_smooth(w, s)
+    (y,) = _linears_shared(
+        x, [{"weight_q4": q4[0], "weight_scale": sc[0], "act_smooth": s[0]}], True
+    )
+    exact = np.asarray(x) @ np.asarray(w[0])
+    rel = np.linalg.norm(np.asarray(y, np.float32) - exact) / np.linalg.norm(exact)
+    assert rel < 0.2  # int4 resolution

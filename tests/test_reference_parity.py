@@ -25,9 +25,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ref_modules():
-    torch = pytest.importorskip("torch")
+def install_reference_stubs(torch):
+    """Install CUDA-kernel stubs + CPU shims and import the reference
+    modules.  Shared by the pytest fixture below and by
+    scripts/parity_real_weights.py (the real-weights harness).
+    Returns (dit_model, dit_module, common, cleanup_fn)."""
     _saved_modules = {}
     _created = []
 
@@ -148,15 +150,24 @@ def ref_modules():
     ps.get_cp_rank = lambda: 0
     ps.get_tp_world_size = lambda with_context_parallel=False: 1
 
-    yield torch, dit_model, dit_module, common
+    def cleanup():
+        # un-pollute sys.modules and torch for subsequent test files
+        for name in _created:
+            sys.modules.pop(name, None)
+        sys.modules.update(_saved_modules)
+        torch.Tensor.to = _orig_to
+        del torch.Tensor.cuda
+        torch.autocast = _orig_autocast
 
-    # teardown: un-pollute sys.modules and torch for subsequent test files
-    for name in _created:
-        sys.modules.pop(name, None)
-    sys.modules.update(_saved_modules)
-    torch.Tensor.to = _orig_to
-    del torch.Tensor.cuda
-    torch.autocast = _orig_autocast
+    return dit_model, dit_module, common, cleanup
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    torch = pytest.importorskip("torch")
+    dit_model, dit_module, common, cleanup = install_reference_stubs(torch)
+    yield torch, dit_model, dit_module, common
+    cleanup()
 
 
 def make_ref_config(common, torch):
