@@ -82,36 +82,44 @@ def position_bias_table(seq_len: int, cfg: T5Config) -> np.ndarray:
     return relative_position_bucket(mem - ctx, cfg.rel_buckets, cfg.rel_max_distance)
 
 
-def t5_encoder_forward(params: dict, cfg: T5Config, input_ids: jnp.ndarray, attn_mask: jnp.ndarray) -> jnp.ndarray:
-    """[B, L] ids + mask -> [B, L, d_model] last hidden state."""
-    B, L = input_ids.shape
-    dtype = params["shared"]["weight"].dtype
+def _t5_prologue(params: dict, cfg: T5Config, input_ids: jnp.ndarray, attn_mask: jnp.ndarray):
+    """Embedding lookup + [1, heads, L, L] masked relative-position bias."""
+    L = input_ids.shape[1]
     h = params["shared"]["weight"][input_ids]
-
     buckets = jnp.asarray(position_bias_table(L, cfg), jnp.int32)
-    # [buckets, heads] -> [1, heads, L, L]
     bias = params["rel_bias"]["weight"][buckets]  # [L, L, heads]
     bias = bias.transpose(2, 0, 1)[None].astype(jnp.float32)
     neg = (1.0 - attn_mask.astype(jnp.float32))[:, None, None, :] * -1e9
-    bias = bias + neg
+    return h, bias + neg
+
+
+def _t5_block(blk: dict, cfg: T5Config, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """One encoder block (pre-RMSNorm attention + gated-gelu FFN).  Shared
+    by the scan-stacked forward and the host-streamed offload forward."""
+    B, L = x.shape[0], x.shape[1]
+    # self-attention (no 1/sqrt(d) scaling; folded into init as in T5)
+    hn = _rms_norm(x, blk["ln1"], cfg.layer_norm_epsilon)
+    q = (hn @ blk["q"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
+    k = (hn @ blk["k"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
+    v = (hn @ blk["v"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, -1)
+    x = x + attn @ blk["o"]
+    # gated-gelu FFN (v1.1)
+    hn = _rms_norm(x, blk["ln2"], cfg.layer_norm_epsilon)
+    g = jax.nn.gelu(hn @ blk["wi_0"], approximate=True)
+    x = x + (g * (hn @ blk["wi_1"])) @ blk["wo"]
+    return x
+
+
+def t5_encoder_forward(params: dict, cfg: T5Config, input_ids: jnp.ndarray, attn_mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, L] ids + mask -> [B, L, d_model] last hidden state."""
+    h, bias = _t5_prologue(params, cfg, input_ids, attn_mask)
 
     def body(carry, blk):
-        x = carry
-        # self-attention (no 1/sqrt(d) scaling; folded into init as in T5)
-        hn = _rms_norm(x, blk["ln1"], cfg.layer_norm_epsilon)
-        q = (hn @ blk["q"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        k = (hn @ blk["k"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        v = (hn @ blk["v"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores + bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, -1)
-        x = x + attn @ blk["o"]
-        # gated-gelu FFN (v1.1)
-        hn = _rms_norm(x, blk["ln2"], cfg.layer_norm_epsilon)
-        g = jax.nn.gelu(hn @ blk["wi_0"], approximate=True)
-        x = x + (g * (hn @ blk["wi_1"])) @ blk["wo"]
-        return x, None
+        return _t5_block(blk, cfg, carry, bias), None
 
     h, _ = lax.scan(body, h, params["blocks"])
     h = _rms_norm(h, params["final_layer_norm"]["weight"], cfg.layer_norm_epsilon)
@@ -181,6 +189,72 @@ def convert_hf_t5_state(state: dict, cfg: T5Config, dtype=jnp.bfloat16) -> dict:
         },
         "final_layer_norm": {"weight": jnp.asarray(t(pre + "final_layer_norm.weight"), dtype)},
     }
+
+
+# per-layer HF key formats: our key -> (hf format, transpose) — shared by the
+# stacked converter above and the block-offload slab writer below
+_T5_LAYER_FMTS = {
+    "ln1": ("encoder.block.{}.layer.0.layer_norm.weight", False),
+    "q": ("encoder.block.{}.layer.0.SelfAttention.q.weight", True),
+    "k": ("encoder.block.{}.layer.0.SelfAttention.k.weight", True),
+    "v": ("encoder.block.{}.layer.0.SelfAttention.v.weight", True),
+    "o": ("encoder.block.{}.layer.0.SelfAttention.o.weight", True),
+    "ln2": ("encoder.block.{}.layer.1.layer_norm.weight", False),
+    "wi_0": ("encoder.block.{}.layer.1.DenseReluDense.wi_0.weight", True),
+    "wi_1": ("encoder.block.{}.layer.1.DenseReluDense.wi_1.weight", True),
+    "wo": ("encoder.block.{}.layer.1.DenseReluDense.wo.weight", True),
+}
+
+
+class T5BlockStore:
+    """Disk-backed converted encoder-layer slabs — the TPU-repo analog of the
+    reference's low-RAM mode that keeps T5 blocks 12-23 as per-block files on
+    disk and loads them per forward (ref: t5_model.py:50-84).  Slabs are
+    written ONCE at init (converted, transposed, target dtype; bf16 stored as
+    uint16 views since npz has no bf16) and streamed one layer at a time
+    during encode — peak host RAM is resident-blocks + ONE slab."""
+
+    def __init__(self, slab_dir: str, dtype):
+        self.slab_dir = slab_dir
+        self.dtype = dtype
+
+    def path(self, i: int) -> str:
+        return os.path.join(self.slab_dir, f"block_{i:02d}.npz")
+
+    def write(self, i: int, blk: dict) -> None:
+        os.makedirs(self.slab_dir, exist_ok=True)
+        out = {}
+        for k, v in blk.items():
+            v = np.asarray(v)
+            if v.dtype == jnp.bfloat16:
+                out[k + "::bf16"] = v.view(np.uint16)
+            else:
+                out[k] = v
+        tmp = self.path(i) + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: savez appends no suffix
+            np.savez(f, **out)
+        os.replace(tmp, self.path(i))
+
+    def load(self, i: int) -> dict:
+        with np.load(self.path(i)) as z:
+            blk = {}
+            for k in z.files:
+                v = z[k]
+                if k.endswith("::bf16"):
+                    blk[k[: -len("::bf16")]] = jnp.asarray(v.view(jnp.bfloat16))
+                else:
+                    blk[k] = jnp.asarray(v)
+        return blk
+
+
+def convert_hf_t5_layer(getter, i: int, dtype) -> dict:
+    """One encoder layer via a lazy `getter(hf_key) -> np.ndarray` (e.g. a
+    safetensors handle) — avoids materializing the full state dict."""
+    blk = {}
+    for ours, (fmt, transpose) in _T5_LAYER_FMTS.items():
+        arr = np.asarray(getter(fmt.format(i)), np.float32)
+        blk[ours] = jnp.asarray(arr.T if transpose else arr, dtype)
+    return blk
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +400,7 @@ class T5Embedder:
     from a local directory (the reference's `t5_pretrained` layout)."""
 
     available_models = ["t5-v1_1-xxl"]
+    _store = None  # class default: block offload off (also for __new__ uses)
 
     def __init__(
         self,
@@ -334,6 +409,7 @@ class T5Embedder:
         dtype=jnp.bfloat16,
         use_text_preprocessing: bool = True,
         device: str = "cpu",
+        offload_blocks: int = 0,
     ):
         """`device` mirrors runtime_config.t5_device (ref: config.py:80):
         "cpu" runs the ~9GB T5-XXL on host CPU so it never competes with
@@ -363,15 +439,40 @@ class T5Embedder:
             self._device = self._host
         else:
             self._device = jax.devices()[0]
+        # low-host-RAM block offload (ref: t5_model.py:50-84 keeps trailing
+        # blocks as per-block files on disk): trailing `offload_blocks`
+        # layers live in disk slabs and stream one at a time per encode
+        if not offload_blocks:
+            offload_blocks = int(os.environ.get("MAGI_T5_OFFLOAD_BLOCKS", "0"))
+        self.n_offload = min(int(offload_blocks), self.config.num_layers)
+        self.n_resident = self.config.num_layers - self.n_offload
+        self._store = None
+        if self.n_offload:
+            assert self._device is self._host, (
+                "offload_blocks targets low-RAM CPU hosts; with an "
+                "accelerator the staged path already bounds HBM"
+            )
         with jax.default_device(self._host):
-            self.params = self._load_params(cache_dir, dtype)
+            if self.n_offload:
+                self.params = self._load_params_offload(cache_dir, dtype)
+            else:
+                self.params = self._load_params(cache_dir, dtype)
         # COMMIT params to host so the jit runs where its inputs live
         # (jit's `device=` arg is deprecated; committed-input placement is
         # the supported mechanism — _encode_ids device_puts per call)
         self.params = jax.device_put(self.params, self._host)
+        cfgc = self.config
         self._forward = jax.jit(
-            lambda p, ids, mask: t5_encoder_forward(p, self.config, ids, mask)
+            lambda p, ids, mask: t5_encoder_forward(p, cfgc, ids, mask)
         )
+        if self._store is not None:
+            self._prologue = jax.jit(lambda p, ids, mask: _t5_prologue(p, cfgc, ids, mask))
+            self._layer_step = jax.jit(lambda blk, x, bias: _t5_block(blk, cfgc, x, bias))
+            self._epilogue = jax.jit(
+                lambda p, x: _rms_norm(
+                    x, p["final_layer_norm"]["weight"], cfgc.layer_norm_epsilon
+                )
+            )
 
     def _load_params(self, path: str, dtype):
         state = {}
@@ -397,6 +498,74 @@ class T5Embedder:
             state = {("encoder." + k if not k.startswith("shared") else k): v for k, v in state.items()}
         return convert_hf_t5_state(state, self.config, dtype)
 
+    def _load_params_offload(self, path: str, dtype) -> dict:
+        """Low-host-RAM load: the first n_resident blocks stack in RAM; the
+        trailing n_offload blocks are converted one layer at a time and
+        written to disk slabs (once — reused across runs), never all
+        resident together.  Peak RAM ~= resident params + ONE fp32 layer."""
+        import glob
+
+        cfg = self.config
+        self._store = T5BlockStore(
+            os.path.join(path, f"jax_block_slabs_{jnp.dtype(dtype).name}"), dtype
+        )
+        st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+        if st_files:
+            from safetensors import safe_open
+
+            handles = [safe_open(f, framework="np") for f in st_files]
+            key_to_h = {k: h for h in handles for k in h.keys()}
+            has_pre = any(k.startswith("encoder.") for k in key_to_h)
+
+            def getter(name):
+                if not has_pre and name.startswith("encoder."):
+                    name = name[len("encoder."):]
+                return key_to_h[name].get_tensor(name)
+        else:
+            # .bin fallback: torch deserializes whole files regardless, so
+            # init peaks at the fp32 state size; slabs still bound ENCODE
+            # memory (and later runs reuse them without this cost)
+            import torch
+
+            state = {}
+            for b in sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))):
+                state.update(torch.load(b, map_location="cpu", weights_only=True))
+            if not any(k.startswith("encoder.") for k in state):
+                state = {
+                    ("encoder." + k if not k.startswith("shared") else k): v
+                    for k, v in state.items()
+                }
+
+            def getter(name):
+                v = state[name]
+                return v.float().numpy() if hasattr(v, "numpy") else v
+
+        for i in range(self.n_resident, cfg.num_layers):
+            if not os.path.exists(self._store.path(i)):
+                self._store.write(i, convert_hf_t5_layer(getter, i, dtype))
+
+        resident = {k: [] for k in _T5_LAYER_FMTS}
+        for i in range(self.n_resident):
+            blk = convert_hf_t5_layer(getter, i, dtype)
+            for k in resident:
+                resident[k].append(blk[k])
+
+        def g32(name):
+            return jnp.asarray(np.asarray(getter(name), np.float32), dtype)
+
+        params = {
+            "shared": {"weight": g32("shared.weight")},
+            "rel_bias": {
+                "weight": g32(
+                    "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+                )
+            },
+            "final_layer_norm": {"weight": g32("encoder.final_layer_norm.weight")},
+        }
+        if self.n_resident:
+            params["blocks"] = {k: jnp.stack(v) for k, v in resident.items()}
+        return params
+
     def get_text_embeddings(self, texts) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(ref: t5_model.py:129-150).  Returns (embs [B,L,D], mask [B,L])."""
         texts = [text_preprocessing(t, self.use_text_preprocessing) for t in texts]
@@ -417,6 +586,8 @@ class T5Embedder:
 
     def _encode_ids(self, ids, mask):
         with jax.default_device(self._device):
+            if self._store is not None:
+                return self._encode_offload(ids, mask)
             if self._device is self._host:
                 return self._forward(self.params, ids, mask)
             # stage: host-cached params -> accelerator, encode, free the
@@ -429,3 +600,18 @@ class T5Embedder:
             embs.block_until_ready()
             del dev_params
         return embs
+
+    def _encode_offload(self, ids, mask):
+        """Host-streamed encode: resident layers slice from the stacked
+        params; offloaded layers load from disk slabs one at a time and are
+        freed after use (ref low-RAM block streaming, t5_model.py:50-84)."""
+        p = self.params
+        h, bias = self._prologue(p, ids, mask)
+        for i in range(self.config.num_layers):
+            if i < self.n_resident:
+                blk = {k: p["blocks"][k][i] for k in _T5_LAYER_FMTS}
+            else:
+                blk = self._store.load(i)
+            h = self._layer_step(blk, h, bias)
+            del blk
+        return self._epilogue(p, h)

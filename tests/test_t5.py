@@ -186,3 +186,81 @@ def test_staged_device_encode_frees_accelerator():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def _fake_hf_checkpoint(tmp_path, cfg, rng):
+    """Write a tiny HF-layout T5 encoder checkpoint (safetensors + config)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    inner = cfg.num_heads * cfg.d_kv
+    state = {
+        "shared.weight": rng.normal(size=(cfg.vocab_size, cfg.d_model)).astype(np.float32),
+        "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight":
+            rng.normal(size=(cfg.rel_buckets, cfg.num_heads)).astype(np.float32),
+        "encoder.final_layer_norm.weight": np.ones(cfg.d_model, np.float32),
+    }
+    for i in range(cfg.num_layers):
+        pre = f"encoder.block.{i}."
+        state[pre + "layer.0.layer_norm.weight"] = rng.uniform(
+            0.5, 1.5, cfg.d_model).astype(np.float32)
+        state[pre + "layer.1.layer_norm.weight"] = rng.uniform(
+            0.5, 1.5, cfg.d_model).astype(np.float32)
+        for name, shape in (
+            ("layer.0.SelfAttention.q.weight", (inner, cfg.d_model)),
+            ("layer.0.SelfAttention.k.weight", (inner, cfg.d_model)),
+            ("layer.0.SelfAttention.v.weight", (inner, cfg.d_model)),
+            ("layer.0.SelfAttention.o.weight", (cfg.d_model, inner)),
+            ("layer.1.DenseReluDense.wi_0.weight", (cfg.d_ff, cfg.d_model)),
+            ("layer.1.DenseReluDense.wi_1.weight", (cfg.d_ff, cfg.d_model)),
+            ("layer.1.DenseReluDense.wo.weight", (cfg.d_model, cfg.d_ff)),
+        ):
+            state[pre + name] = (rng.normal(size=shape) * 0.05).astype(np.float32)
+    save_file(state, str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps({
+        "d_model": cfg.d_model, "d_kv": cfg.d_kv, "num_heads": cfg.num_heads,
+        "d_ff": cfg.d_ff, "num_layers": cfg.num_layers,
+        "vocab_size": cfg.vocab_size,
+        "relative_attention_num_buckets": cfg.rel_buckets,
+        "relative_attention_max_distance": cfg.rel_max_distance,
+    }))
+
+
+@pytest.mark.parametrize("n_off", [2, 4])
+def test_offload_blocks_streaming_equality(tmp_path, monkeypatch, n_off):
+    """offload_blocks: trailing layers live as disk slabs and stream per
+    encode; output equals the in-RAM scan forward (the repo's analog of the
+    reference's low-RAM block mode, ref t5_model.py:50-84)."""
+    import jax
+
+    from magi_tpu.models.t5.model import T5Embedder
+
+    cfg = T5Config(vocab_size=50, d_model=16, d_kv=4, num_heads=4, d_ff=32,
+                   num_layers=4, rel_buckets=8, rel_max_distance=16)
+    rng = np.random.default_rng(3)
+    _fake_hf_checkpoint(tmp_path, cfg, rng)
+
+    import transformers
+
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained", lambda *a, **k: None
+    )
+
+    full = T5Embedder(str(tmp_path), dtype=jnp.float32)
+    off = T5Embedder(str(tmp_path), dtype=jnp.float32, offload_blocks=n_off)
+    assert off.n_resident == cfg.num_layers - n_off
+    if off.n_resident:
+        assert off.params["blocks"]["q"].shape[0] == off.n_resident
+    else:
+        assert "blocks" not in off.params
+    import os as _os
+
+    assert len([f for f in _os.listdir(off._store.slab_dir)
+                if f.endswith(".npz")]) == n_off
+
+    ids = jnp.asarray([[1, 5, 9, 2, 0, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    want = np.asarray(full._encode_ids(ids, mask))
+    got = np.asarray(off._encode_ids(ids, mask))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-6)
