@@ -63,12 +63,18 @@ def main() -> None:
         mc.num_attention_heads, mc.num_query_groups, mc.kv_channels = 4, 2, 64
         mc.caption_max_length = 64
 
-    size = int(os.environ.get("MAGI_STREAM_SIZE", "256" if on_tpu else "64"))
+    # "256" (square) or "720x1280" (the 24B release default, VERDICT r4 #3)
+    size_s = os.environ.get("MAGI_STREAM_SIZE", "256" if on_tpu else "64")
+    if "x" in size_s:
+        size_h, size_w = (int(v) for v in size_s.split("x"))
+    else:
+        size_h = size_w = int(size_s)
+    size = f"{size_h}x{size_w}"
     chunk_num = int(os.environ.get("MAGI_STREAM_CHUNKS", "16" if on_tpu else "4"))
     modes = os.environ.get("MAGI_STREAM_MODES", "A,B,C").split(",")
     steps = rc.num_steps  # 16 (distill), cfg_number 1
-    rc.video_size_h = rc.video_size_w = size
-    H, W = size // 8, size // 8
+    rc.video_size_h, rc.video_size_w = size_h, size_w
+    H, W = size_h // 8, size_w // 8
     ctn = (rc.chunk_width // mc.t_patch_size) * (H // mc.patch_size) * (W // mc.patch_size)
     L = mc.caption_max_length
 
@@ -118,17 +124,20 @@ def main() -> None:
 
         sync()
         times = []
+        groups = {}  # window width (chunks denoised together) -> step times
         emitted = 0
         n_steps = s.total_forward_steps()
         for step in range(n_steps):
+            _, _, c_start, c_end, _, _ = s._status(step)
             t1 = time.perf_counter()
             if s.do_step(step) is not None:
                 emitted += 1
             sync()
             times.append(time.perf_counter() - t1)
+            groups.setdefault(int(c_end - c_start), []).append(times[-1])
             if step % 16 == 0 or step == n_steps - 1:
-                print(f"  [{tag}] step {step+1}/{n_steps}: {times[-1]:.2f}s",
-                      file=sys.stderr)
+                print(f"  [{tag}] step {step+1}/{n_steps} (w{c_end-c_start}): "
+                      f"{times[-1]:.2f}s", file=sys.stderr)
         xs = np.asarray(s.xs)
         total = sum(times)
         # per-chunk-position medians show whether step time grows with
@@ -149,6 +158,15 @@ def main() -> None:
             "sec_per_step_first": round(times[0], 3),
             "sec_per_step_last": round(times[-1], 3),
             "variants_warmed": n_var,
+            # per-window s/step (min/median/max/n; median of the LAST half
+            # of each group excludes in-walk compiles) — the 720p-shaped
+            # per-window latencies VERDICT r4 #3 asks to MEASURE
+            "sec_per_step_by_window": {
+                f"w{k}": [round(min(v), 3),
+                          round(float(np.median(v[len(v) // 2:])), 3),
+                          round(max(v), 3), len(v)]
+                for k, v in sorted(groups.items())
+            },
         }
         if s.host_mode:
             nbytes = sum(b.nbytes for b in jax.tree_util.tree_leaves(s.host_cache.buf))
@@ -163,7 +181,7 @@ def main() -> None:
         # invocations (the walk is deterministic: seeded inputs + PRNGKey(7))
         # and still be compared / merged — a 16-chunk mode at 24B can exceed
         # one process's timeout budget on cold compiles
-        np.savez(f"/tmp/stream24b_{tag}.npz", xs=np.asarray(xs, np.float32),
+        np.savez(f"/tmp/stream24b_{tag}_{size}.npz", xs=np.asarray(xs, np.float32),
                  rec=json.dumps(rec))
         del s
         return xs
@@ -183,7 +201,7 @@ def main() -> None:
     def _load_prior(tag):
         # a mode measured by a PREVIOUS invocation (same seeds): merge its
         # record and return its latents for the cross-mode comparison
-        path = f"/tmp/stream24b_{tag}.npz"
+        path = f"/tmp/stream24b_{tag}_{size}.npz"
         if os.path.exists(path):
             d = np.load(path, allow_pickle=True)
             out["runs"][tag] = json.loads(str(d["rec"]))
