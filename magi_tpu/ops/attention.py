@@ -189,6 +189,14 @@ def unified_stream_default() -> bool:
     return os.environ.get("MAGI_ATTN_UNIFIED_STREAM", "0") == "1"
 
 
+def tile_opt_default() -> bool:
+    """MAGI_ATTN_TILEOPT=1: lighter per-tile softmax bookkeeping (narrow
+    m-broadcast, underflow-masking, first-tile write-through) — targets the
+    per-chain fixed costs behind the short-kv (w1/w2) efficiency gap.
+    Measured on chip in scripts/ab_shortkv.py; default set by that A/B."""
+    return os.environ.get("MAGI_ATTN_TILEOPT", "0") == "1"
+
+
 def auto_blocks(seg_len: int, q_per_kv: int, *, q8: bool = False) -> tuple[int, int]:
     """Measured-optimal (block_q, block_k) for the streaming kernels
     (scripts/ab_blocks2.py, v5e chip sweep, round 4).
@@ -828,6 +836,7 @@ def _seg_attn_kernel_two_source(
     fused_rot: int = 0,
     ln_eps: float = 1e-6,
     unified: bool = True,
+    tile_opt: bool = False,
 ):
     """Two-source streaming variant: each segment attends
     src1[r1_start, r1_end) then src2[r2_start, r2_end).  Lets the KV cache
@@ -863,9 +872,10 @@ def _seg_attn_kernel_two_source(
     seg = pl.program_id(0)
     kv_head = pl.program_id(1)
 
-    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
-    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
-    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    if not tile_opt:
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def copies(slot, src_hbm, tile):
         off = pl.multiple_of(tile * block_k, block_k)
@@ -874,7 +884,16 @@ def _seg_attn_kernel_two_source(
             pltpu.make_async_copy(src_hbm.at[1, kv_head, pl.ds(off, block_k), :], v_buf.at[slot], sems.at[slot, 1]),
         )
 
-    def tile_compute(i, slot, start, end, masked: bool):
+    def tile_compute(i, slot, start, end, masked: bool, first: bool = False):
+        """`tile_opt` (MAGI_ATTN_TILEOPT, chip-A/B'd in scripts/ab_shortkv.py):
+        (a) the exp2 subtract broadcasts m from ONE lane instead of
+        materializing a [rows, block_k] jnp.tile; (b) masked tiles rely on
+        exp2(MASK - m) underflowing to 0 (a streamed tile always overlaps
+        its range, so m stays finite and the extra [rows, block_k] select
+        is dead); (c) `first=True` tiles write m/l/acc directly — no
+        scratch zero-fill pass, no dead alpha-rescale of a zero acc.
+        All three shave the per-chain fixed costs that dominate SHORT kv
+        spans (w1/w2 steps — the 122-vs-155 TF/s gap, perf_notes.md)."""
         rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
         q = q_scr[...]
         k = k_buf[slot]
@@ -884,28 +903,44 @@ def _seg_attn_kernel_two_source(
             valid = jnp.logical_and(col >= start, col < end)
             s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scr[...]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1)[:, None]
-        m_next = jnp.maximum(m_prev, m_curr)
         repeats = block_k // NUM_LANES
-        p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
-        if masked:
-            # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
-            # uniform garbage (partial masks underflow on their own):
-            # zero p so empty / sub-tile ranges contribute nothing
-            p = jnp.where(valid, p, 0.0)
-        alpha = jnp.exp2(m_prev - m_next)
-        # deferred normalization: acc stays unnormalized until the store
-        l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
         hd_repeats, rem = divmod(head_dim, NUM_LANES)
         if rem:
             l_broadcast = lambda l: l[:, :head_dim]
         else:
             l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+        m_curr = jnp.max(s, axis=1)[:, None]
+        v = v_buf[slot]
+
+        if first:
+            # first tile of the stream: no prior m/l/acc to merge
+            p = jnp.exp2(s - m_curr[:, :1])
+            if masked and not tile_opt:
+                p = jnp.where(valid, p, 0.0)
+            m_scr[...] = jnp.broadcast_to(m_curr, m_scr.shape)
+            l_scr[...] = jnp.broadcast_to(jnp.sum(p, axis=1)[:, None], l_scr.shape)
+            acc_scr[...] = lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            return
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_next = jnp.maximum(m_prev, m_curr)
+        if tile_opt:
+            p = jnp.exp2(s - m_next[:, :1])
+        else:
+            p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+        if masked and not tile_opt:
+            # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
+            # uniform garbage (partial masks underflow on their own):
+            # zero p so empty / sub-tile ranges contribute nothing
+            # (tile_opt: a streamed tile always overlaps its range, so
+            # m_next is finite and masked entries underflow — select dead)
+            p = jnp.where(valid, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_next)
+        # deferred normalization: acc stays unnormalized until the store
+        l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
         m_scr[...] = m_next
         l_scr[...] = l_next
-        v = v_buf[slot]
         acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -943,6 +978,14 @@ def _seg_attn_kernel_two_source(
                     fused_norm=bool(fused_rot),
                     scale=1.0 if fused_rot else sm_scale * LOG2E)
 
+        if tile_opt:
+            # the first streamed tile writes m/l/acc directly; only an
+            # entirely-empty range still needs the zero state for the store
+            @pl.when(total == 0)
+            def _():
+                l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+                acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
         @pl.when(total > 0)
         def _():
             def body(j, _):
@@ -962,14 +1005,18 @@ def _seg_attn_kernel_two_source(
                 is_boundary = jnp.logical_or(
                     tile * block_k < start, (tile + 1) * block_k > end
                 )
+                first = jnp.equal(j, 0) if tile_opt else jnp.bool_(False)
 
-                @pl.when(is_boundary)
-                def _():
-                    tile_compute(tile, slot, start, end, masked=True)
+                for fst in ((True, False) if tile_opt else (False,)):
+                    cond = first if fst else jnp.logical_not(first)
 
-                @pl.when(jnp.logical_not(is_boundary))
-                def _():
-                    tile_compute(tile, slot, start, end, masked=False)
+                    @pl.when(jnp.logical_and(cond, is_boundary))
+                    def _(fst=fst):
+                        tile_compute(tile, slot, start, end, masked=True, first=fst)
+
+                    @pl.when(jnp.logical_and(cond, jnp.logical_not(is_boundary)))
+                    def _(fst=fst):
+                        tile_compute(tile, slot, start, end, masked=False, first=fst)
 
                 return ()
 
@@ -986,7 +1033,7 @@ def _seg_attn_kernel_two_source(
                 fused_norm=bool(fused_rot),
                 scale=1.0 if fused_rot else sm_scale * LOG2E)
 
-    def phase(src_hbm, start, end):
+    def phase(src_hbm, start, end, first_pred):
         lo = start // block_k
         hi = lax.div(end + block_k - 1, block_k)
 
@@ -1009,21 +1056,36 @@ def _seg_attn_kernel_two_source(
 
                 # only boundary tiles can contain out-of-range positions
                 is_boundary = jnp.logical_or(i * block_k < start, (i + 1) * block_k > end)
+                first = (
+                    jnp.logical_and(first_pred, jnp.equal(i, lo))
+                    if tile_opt
+                    else jnp.bool_(False)
+                )
 
-                @pl.when(is_boundary)
-                def _():
-                    tile_compute(i, slot, start, end, masked=True)
+                for fst in ((True, False) if tile_opt else (False,)):
+                    cond = first if fst else jnp.logical_not(first)
 
-                @pl.when(jnp.logical_not(is_boundary))
-                def _():
-                    tile_compute(i, slot, start, end, masked=False)
+                    @pl.when(jnp.logical_and(cond, is_boundary))
+                    def _(fst=fst):
+                        tile_compute(i, slot, start, end, masked=True, first=fst)
+
+                    @pl.when(jnp.logical_and(cond, jnp.logical_not(is_boundary)))
+                    def _(fst=fst):
+                        tile_compute(i, slot, start, end, masked=False, first=fst)
 
                 return ()
 
             lax.fori_loop(lo, hi, body, (), unroll=False)
 
-    phase(kv1_hbm, r1s, r1e)
-    phase(kv2_hbm, r2s, r2e)
+    src1_empty = r1e <= r1s
+    if tile_opt:
+        @pl.when(jnp.logical_and(src1_empty, r2e <= r2s))
+        def _():  # entirely-empty range: zero state for the store
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    phase(kv1_hbm, r1s, r1e, jnp.logical_not(src1_empty))
+    phase(kv2_hbm, r2s, r2e, src1_empty)
 
     _o_epilogue(o_ref, acc_scr, l_scr, q_per_kv=q_per_kv)
 
@@ -1047,6 +1109,7 @@ def segmented_attention_two_source(
     #                    ln_eps) — q arrives RAW; the kernel applies the
     #                    fp32 QK-layernorm + rotary in its prologue
     unified: Optional[bool] = None,  # see unified_stream_default
+    tile_opt: Optional[bool] = None,  # see _seg_attn_kernel_two_source.tile_compute
 ) -> jax.Array:
     total_q, hq, hd = q.shape
     _, hk, kv1_len, _ = kv1.shape
@@ -1137,6 +1200,7 @@ def segmented_attention_two_source(
         _seg_attn_kernel_two_source, sm_scale=sm_scale, block_k=block_k,
         q_per_kv=q_per_kv, fused_rot=fused_rot, ln_eps=float(ln_eps),
         unified=unified_stream_default() if unified is None else unified,
+        tile_opt=tile_opt_default() if tile_opt is None else tile_opt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

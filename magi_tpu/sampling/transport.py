@@ -117,6 +117,7 @@ def _config_key(config: MagiConfig) -> str:
             os.environ.get("MAGI_QMM_IMPL", "xla"),
             os.environ.get("MAGI_FUSED_ACT_QUANT", "0"),
             os.environ.get("MAGI_ATTN_UNIFIED_STREAM", "0"),
+            os.environ.get("MAGI_ATTN_TILEOPT", "0"),
         )
     )
 
