@@ -58,6 +58,7 @@ from magi_tpu.ops.attention import (
     auto_blocks,
     _q_prologue,
     segmented_attention_two_source_reference,
+    tile_opt_default,
     unified_stream_default,
 )
 
@@ -144,6 +145,7 @@ def _seg_attn_kernel_two_source_q8(
     fused_norm: bool = False,
     ln_eps: float = 1e-6,
     unified: bool = True,
+    tile_opt: bool = False,
 ):
     has_sq = scheme != "dq"
     n_extra = 1 if has_sq else 0
@@ -164,9 +166,10 @@ def _seg_attn_kernel_two_source_q8(
     seg = pl.program_id(0)
     kv_head = pl.program_id(1)
 
-    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
-    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
-    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    if not tile_opt:
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def prologue():
         if scheme == "dq":
@@ -203,7 +206,11 @@ def _seg_attn_kernel_two_source_q8(
                 sv_buf.at[slot], sems.at[slot, 3]),
         )
 
-    def _tile_compute(i, slot, start, end, masked: bool):
+    def _tile_compute(i, slot, start, end, masked: bool, first: bool = False):
+            # `tile_opt` / `first`: same per-tile bookkeeping cuts as the
+            # bf16 kernel (ops/attention._seg_attn_kernel_two_source) —
+            # narrow m-broadcast, underflow-masking, first-tile
+            # write-through.  Chip-A/B'd in scripts/ab_shortkv.py.
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
 
             # ---- first matmul + dequant -> f32 exp2-domain logits -------
@@ -262,23 +269,34 @@ def _seg_attn_kernel_two_source_q8(
                 s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
             # ---- online softmax (identical to the bf16 kernel) ----------
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=1)[:, None]
-            m_next = jnp.maximum(m_prev, m_curr)
-            p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
-            if masked:
-                # fully-masked tile: m_next == MASK_VALUE -> p = 1 garbage
-                p = jnp.where(valid, p, 0.0)
-            alpha = jnp.exp2(m_prev - m_next)
-            l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
             hd_repeats, rem = divmod(head_dim, NUM_LANES)
             if rem:
                 l_broadcast = lambda l: l[:, :head_dim]
             else:
                 l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
-            m_scr[...] = m_next
-            l_scr[...] = l_next
+            m_curr = jnp.max(s, axis=1)[:, None]
+            if first:
+                p = jnp.exp2(s - m_curr[:, :1])
+                if masked and not tile_opt:
+                    p = jnp.where(valid, p, 0.0)
+                m_scr[...] = jnp.broadcast_to(m_curr, m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(jnp.sum(p, axis=1)[:, None], l_scr.shape)
+                alpha = None
+            else:
+                m_prev = m_scr[...]
+                l_prev = l_scr[...]
+                m_next = jnp.maximum(m_prev, m_curr)
+                if tile_opt:
+                    p = jnp.exp2(s - m_next[:, :1])
+                else:
+                    p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+                if masked and not tile_opt:
+                    # fully-masked tile: m_next == MASK_VALUE -> p = 1 garbage
+                    p = jnp.where(valid, p, 0.0)
+                alpha = jnp.exp2(m_prev - m_next)
+                l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
+                m_scr[...] = m_next
+                l_scr[...] = l_next
 
             # ---- second matmul -------------------------------------------
             sv_all = sv_buf[slot]                      # [bk//128, 128]
@@ -322,7 +340,10 @@ def _seg_attn_kernel_two_source_q8(
                     pv, v8.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32,
                 )
-            acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + o_curr
+            if first:
+                acc_scr[...] = o_curr
+            else:
+                acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + o_curr
 
     r1s, r1e = r1_start_ref[seg], r1_end_ref[seg]
     r2s, r2e = r2_start_ref[seg], r2_end_ref[seg]
@@ -348,6 +369,12 @@ def _seg_attn_kernel_two_source_q8(
                 for c in copies(slot, kv2_hbm, sk2_hbm, sv2_hbm, lo2 + j - n1):
                     getattr(c, op)()
 
+        if tile_opt:
+            @pl.when(total == 0)
+            def _():  # entirely-empty range: zero state for the store
+                l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+                acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
         @pl.when(total > 0)
         def _():
             dma_io(0, 0, "start")
@@ -372,14 +399,18 @@ def _seg_attn_kernel_two_source_q8(
                 is_boundary = jnp.logical_or(
                     tile * block_k < start, (tile + 1) * block_k > end
                 )
+                first = jnp.equal(j, 0) if tile_opt else jnp.bool_(False)
 
-                @pl.when(is_boundary)
-                def _():
-                    _tile_compute(tile, slot, start, end, masked=True)
+                for fst in ((True, False) if tile_opt else (False,)):
+                    cond = first if fst else jnp.logical_not(first)
 
-                @pl.when(jnp.logical_not(is_boundary))
-                def _():
-                    _tile_compute(tile, slot, start, end, masked=False)
+                    @pl.when(jnp.logical_and(cond, is_boundary))
+                    def _(fst=fst):
+                        _tile_compute(tile, slot, start, end, masked=True, first=fst)
+
+                    @pl.when(jnp.logical_and(cond, jnp.logical_not(is_boundary)))
+                    def _(fst=fst):
+                        _tile_compute(tile, slot, start, end, masked=False, first=fst)
 
                 return ()
 
@@ -388,7 +419,7 @@ def _seg_attn_kernel_two_source_q8(
         # ---- split-phase path (MAGI_ATTN_UNIFIED_STREAM=0, chip A/B) ----
         prologue()
 
-        def phase(src_hbm, sk_hbm, sv_hbm, start, end):
+        def phase(src_hbm, sk_hbm, sv_hbm, start, end, first_pred):
             lo = start // block_k
             hi = lax.div(end + block_k - 1, block_k)
 
@@ -412,21 +443,36 @@ def _seg_attn_kernel_two_source_q8(
                     is_boundary = jnp.logical_or(
                         i * block_k < start, (i + 1) * block_k > end
                     )
+                    first = (
+                        jnp.logical_and(first_pred, jnp.equal(i, lo))
+                        if tile_opt
+                        else jnp.bool_(False)
+                    )
 
-                    @pl.when(is_boundary)
-                    def _():
-                        _tile_compute(i, slot, start, end, masked=True)
+                    for fst in ((True, False) if tile_opt else (False,)):
+                        cond = first if fst else jnp.logical_not(first)
 
-                    @pl.when(jnp.logical_not(is_boundary))
-                    def _():
-                        _tile_compute(i, slot, start, end, masked=False)
+                        @pl.when(jnp.logical_and(cond, is_boundary))
+                        def _(fst=fst):
+                            _tile_compute(i, slot, start, end, masked=True, first=fst)
+
+                        @pl.when(jnp.logical_and(cond, jnp.logical_not(is_boundary)))
+                        def _(fst=fst):
+                            _tile_compute(i, slot, start, end, masked=False, first=fst)
 
                     return ()
 
                 lax.fori_loop(lo, hi, body, (), unroll=False)
 
-        phase(kv1_hbm, sk1_hbm, sv1_hbm, r1s, r1e)
-        phase(kv2_hbm, sk2_hbm, sv2_hbm, r2s, r2e)
+        src1_empty = r1e <= r1s
+        if tile_opt:
+            @pl.when(jnp.logical_and(src1_empty, r2e <= r2s))
+            def _():  # entirely-empty range: zero state for the store
+                l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+                acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        phase(kv1_hbm, sk1_hbm, sv1_hbm, r1s, r1e, jnp.logical_not(src1_empty))
+        phase(kv2_hbm, sk2_hbm, sv2_hbm, r2s, r2e, src1_empty)
 
     # epilogue: identical to the bf16 kernel's _o_epilogue
     rows, head_dim = acc_scr.shape
@@ -464,6 +510,7 @@ def segmented_attention_two_source_q8(
     q_prologue=None,  # (qln_w, qln_b, sin, cos, ln_eps) — as the bf16 kernel
     scheme: Optional[str] = None,
     unified: Optional[bool] = None,  # see attention.unified_stream_default
+    tile_opt: Optional[bool] = None,  # see attention.tile_opt_default
 ) -> jax.Array:
     total_q, hq, hd = q.shape
     _, hk, kv1_len, _ = kv1.shape
@@ -572,6 +619,7 @@ def segmented_attention_two_source_q8(
         q_per_kv=q_per_kv, scheme=scheme, fused_rot=fused_rot,
         fused_norm=fused_norm, ln_eps=float(ln_eps),
         unified=unified_stream_default() if unified is None else unified,
+        tile_opt=tile_opt_default() if tile_opt is None else tile_opt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -34,6 +34,10 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/magi_tpu_jit_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from magi_tpu.ops.attention import segmented_attention_two_source  # noqa: E402
+from magi_tpu.ops.attention_q8 import (  # noqa: E402
+    quantize_kv_per_token,
+    segmented_attention_two_source_q8,
+)
 
 
 def sync(x):
@@ -109,6 +113,36 @@ def main():
             tf = fl / dt / 1e12
             results.append((name, label, dt * 1e3, tf))
             print(f"{name} {label}: {dt*1e3:.2f} ms  {tf:.1f} TF/s", flush=True)
+
+        kv1_8, sc1 = quantize_kv_per_token(kv1)
+        kv2_8, sc2 = quantize_kv_per_token(kv2)
+        ref8 = None
+        for label, topt, uni, bq, bk in variants:
+            if bq is not None and bq % 32:
+                continue  # q8 q_scr row slices want 32-aligned offsets
+            f8 = jax.jit(
+                lambda q, kv1, sc1, kv2, sc2, a, b, c, d, topt=topt, uni=uni, bq=bq, bk=bk:
+                segmented_attention_two_source_q8(
+                    q, kv1, sc1, kv2, sc2, a, b, c, d, seg_len=seg_len,
+                    block_q=bq, block_k=bk, scheme="qk8",
+                    unified=uni, tile_opt=topt,
+                )
+            )
+            try:
+                out = f8(q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e)
+                o_np = np.asarray(out, np.float32)
+                if ref8 is None:
+                    ref8 = o_np
+                else:
+                    err = float(np.abs(o_np - ref8).max())
+                    assert err < 0.05, f"q8 {label} output mismatch: {err}"
+                dt = time_fn(f8, q, kv1_8, sc1, kv2_8, sc2, r1s, r1e, r2s, r2e)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} q8/{label}: FAILED {type(e).__name__}: {e}", flush=True)
+                continue
+            tf = fl / dt / 1e12
+            results.append((name, "q8/" + label, dt * 1e3, tf))
+            print(f"{name} q8/{label}: {dt*1e3:.2f} ms  {tf:.1f} TF/s", flush=True)
 
     print("\nsummary (TF/s):", flush=True)
     for name, label, ms, tf in results:
