@@ -405,6 +405,7 @@ def _seg_attn_kernel_v2(
     fused_norm: bool = False,
     fused_rot: int = 0,
     ln_eps: float = 1e-6,
+    tile_opt: bool = False,
 ):
     """Inner-loop variant: kv tiles are streamed with double-buffered DMA
     over exactly [lo, hi) — no grid steps are spent on out-of-range tiles
@@ -437,9 +438,15 @@ def _seg_attn_kernel_v2(
     lo = start // block_k
     hi = lax.div(end + block_k - 1, block_k)
 
-    m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
-    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
-    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    if not tile_opt:
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    else:
+        @pl.when(hi <= lo)
+        def _():  # empty range: zero state for the store
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def dma(slot, tile):
         off = pl.multiple_of(tile * block_k, block_k)
@@ -462,7 +469,8 @@ def _seg_attn_kernel_v2(
 
     @pl.when(lo < hi)
     def _():
-        def tile_compute(i, slot, masked: bool):
+        def tile_compute(i, slot, masked: bool, first: bool = False):
+            # tile_opt / first: see _seg_attn_kernel_two_source.tile_compute
             rows, head_dim = acc_scr.shape  # rows = q_per_kv * block_q
             q = q_scr[...]
             k = k_buf[slot]
@@ -472,28 +480,42 @@ def _seg_attn_kernel_v2(
                 valid = jnp.logical_and(col >= start, col < end)
                 s = jnp.where(valid, s, DEFAULT_MASK_VALUE)
 
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=1)[:, None]
-            m_next = jnp.maximum(m_prev, m_curr)
             repeats = block_k // NUM_LANES
-            p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
-            if masked:
-                # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
-                # uniform garbage (partial masks underflow on their own):
-                # zero p so empty / sub-tile ranges contribute nothing
-                p = jnp.where(valid, p, 0.0)
-            alpha = jnp.exp2(m_prev - m_next)
-            # deferred normalization: acc stays unnormalized until the store
-            l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
             hd_repeats, rem = divmod(head_dim, NUM_LANES)
             if rem:
                 l_broadcast = lambda l: l[:, :head_dim]
             else:
                 l_broadcast = lambda l: jnp.tile(l, (1, hd_repeats))
+            m_curr = jnp.max(s, axis=1)[:, None]
+            v = v_buf[slot]
+
+            if first:
+                p = jnp.exp2(s - m_curr[:, :1])
+                if masked and not tile_opt:
+                    p = jnp.where(valid, p, 0.0)
+                m_scr[...] = jnp.broadcast_to(m_curr, m_scr.shape)
+                l_scr[...] = jnp.broadcast_to(jnp.sum(p, axis=1)[:, None], l_scr.shape)
+                acc_scr[...] = lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+                return
+
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_next = jnp.maximum(m_prev, m_curr)
+            if tile_opt:
+                p = jnp.exp2(s - m_next[:, :1])
+            else:
+                p = jnp.exp2(s - jnp.tile(m_next, (1, repeats)))
+            if masked and not tile_opt:
+                # a FULLY-masked tile has m_next == MASK_VALUE -> p = 1
+                # uniform garbage (partial masks underflow on their own):
+                # zero p so empty / sub-tile ranges contribute nothing
+                # (tile_opt: streamed tiles always overlap the range)
+                p = jnp.where(valid, p, 0.0)
+            alpha = jnp.exp2(m_prev - m_next)
+            # deferred normalization: acc stays unnormalized until the store
+            l_next = jnp.sum(p, axis=1)[:, None] + alpha * l_prev
             m_scr[...] = m_next
             l_scr[...] = l_next
-            v = v_buf[slot]
             acc_scr[...] = acc_scr[...] * l_broadcast(alpha) + lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
@@ -513,14 +535,20 @@ def _seg_attn_kernel_v2(
             # only boundary tiles can contain out-of-range positions; the
             # scalar branch keeps iota/compare/select off interior tiles
             is_boundary = jnp.logical_or(i * block_k < start, (i + 1) * block_k > end)
+            first = (
+                jnp.equal(i, lo) if tile_opt else jnp.bool_(False)
+            )
 
-            @pl.when(is_boundary)
-            def _():
-                tile_compute(i, slot, masked=True)
+            for fst in ((True, False) if tile_opt else (False,)):
+                cond = first if fst else jnp.logical_not(first)
 
-            @pl.when(jnp.logical_not(is_boundary))
-            def _():
-                tile_compute(i, slot, masked=False)
+                @pl.when(jnp.logical_and(cond, is_boundary))
+                def _(fst=fst):
+                    tile_compute(i, slot, masked=True, first=fst)
+
+                @pl.when(jnp.logical_and(cond, jnp.logical_not(is_boundary)))
+                def _(fst=fst):
+                    tile_compute(i, slot, masked=False, first=fst)
 
             return ()
 
@@ -638,6 +666,7 @@ def segmented_attention_v2(
     kernel = functools.partial(
         _seg_attn_kernel_v2, sm_scale=sm_scale, block_k=block_k, q_per_kv=q_per_kv,
         fused_norm=fused_norm, fused_rot=fused_rot, ln_eps=float(ln_eps),
+        tile_opt=tile_opt_default(),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
