@@ -320,3 +320,52 @@ def test_attn_int8_sharded_walk_matches_single_device(eight_devices, monkeypatch
         # and the bulk must be MUCH closer (guards against a systematic
         # wrong-scale error hiding inside a loose tolerance)
         assert np.abs(np.asarray(r) - np.asarray(g)).mean() < 2e-4
+
+
+def test_smooth_int8_sharded_walk_close_to_single_device(eight_devices):
+    """fp8-checkpoint smooth-quant composed with model parallelism: an
+    act_smooth-carrying tree (loader._dequant_fp8 output) quantizes to the
+    smooth-folded int8 form and walks identically on a pp2 x cp2 x tp2 mesh
+    vs single device — the global x/s divide happens before the manual
+    shard_maps, so SPMD partitions it (the smooth vector is replicated
+    per-layer; ref: PerChannelQuantizedFp8Linear, dit_module.py:462-487)."""
+    import jax.numpy as jnp
+
+    from magi_tpu.models.dit.model import init_dit_params
+    from magi_tpu.ops.quant import quantize_params_int8
+
+    cfg = tiny_config(
+        model={"num_attention_heads": 8, "num_query_groups": 8, "hidden_size": 128,
+               "kv_channels": 16, "num_layers": 4},
+        engine={"pp_size": 2, "cp_size": 2, "tp_size": 2},
+    )
+    inp = make_input(cfg, 2)
+    params = init_dit_params(jax.random.PRNGKey(0), cfg)
+    # attach per-layer smoothing vectors to the four PerChannel linears
+    rng = np.random.default_rng(5)
+    L = cfg.model_config.num_layers
+    for node in (
+        params["blocks"]["self_attention"]["linear_proj"],
+        params["blocks"]["self_attention"]["linear_kv_xattn"],
+        params["blocks"]["mlp"]["linear_fc1"],
+        params["blocks"]["mlp"]["linear_fc2"],
+    ):
+        width = node["weight"].shape[1]  # [L, in, out] -> smooth indexes in
+        sm = rng.uniform(0.5, 2.0, size=(L, width)).astype(np.float32)
+        sm[0] = sm[-1] = 1.0  # edge layers never smooth
+        node["act_smooth"] = jnp.asarray(sm)
+    qp = quantize_params_int8(params)
+    assert "act_smooth" in qp["blocks"]["mlp"]["linear_fc2"]
+
+    mesh_lib.destroy_mesh()
+    s = ArdfSampler(cfg, qp, inp, jax.random.PRNGKey(7))
+    ref = [c for _, c in s.walk()]
+
+    mesh = mesh_lib.initialize_mesh(cfg, devices=eight_devices)
+    sp = mesh_lib.shard_dit_params(qp, mesh)
+    s2 = ArdfSampler(cfg, sp, inp, jax.random.PRNGKey(7))
+    got = [c for _, c in s2.walk()]
+
+    assert len(ref) == len(got) == 2
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(r, g, atol=2e-2, rtol=2e-2)
