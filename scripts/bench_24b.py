@@ -149,6 +149,20 @@ def main() -> None:
     edge_bf16 = os.environ.get("MAGI_24B_EDGE_BF16", "0") == "1"
     chunk_num = int(os.environ.get("MAGI_24B_CHUNKS", "2"))
     window = int(os.environ.get("MAGI_24B_WINDOW", "2"))
+    # MAGI_24B_LAYERS: measure a reduced-layer-count model at shapes the
+    # full 48-layer model cannot fit in one 16GB HBM (720x1280 window-4:
+    # the int8 sliding cache alone is ~8.5GB at 48 layers).  Per-step time
+    # is (non-layer overhead) + L * (per-layer cost); the overhead term is
+    # sub-1% of a 720p step, so t_48 ~= t_L * 48/L — the attention kernels,
+    # kv ranges, and matmul shapes are EXACT, only the scan trip count
+    # shrinks (VERDICT r4 #3's sanctioned reduced-layer extrapolation).
+    layers = int(os.environ.get("MAGI_24B_LAYERS", "0"))
+    if layers and on_tpu:
+        mc.num_layers = layers
+    # MAGI_24B_STOP_AFTER_W4=K: end the walk K steps after it first reaches
+    # a full-window step — a 720p w4 step is minutes; the ramp widths are
+    # measured on the way up and the walk needn't finish the video.
+    stop_after_w4 = int(os.environ.get("MAGI_24B_STOP_AFTER_W4", "0"))
     L = mc.caption_max_length
 
     t0 = time.time()
@@ -192,6 +206,7 @@ def main() -> None:
         tok_steps = []
         pair_steps = []
         emitted = 0
+        n_w4 = 0
         for step in range(sampler.total_forward_steps()):
             p = sampler._plan(step)
             tok_steps.append(p["n_seg"] * ctn)
@@ -202,6 +217,14 @@ def main() -> None:
                 emitted += 1
             sync()
             times.append(time.perf_counter() - t1)
+            print(json.dumps({"step": step, "n_den": p["n_den"],
+                              "sec": round(times[-1], 3)}), file=sys.stderr)
+            if stop_after_w4 and p["n_den"] >= min(window, chunk_num):
+                n_w4 += 1
+                if n_w4 >= stop_after_w4:
+                    print(json.dumps({"early_stop": f"{n_w4} full-window steps"}),
+                          file=sys.stderr)
+                    break
         total = sum(times)
         # per-window-width medians: the projection fits PER-STEP
         # (tokens, sec) pairs, not walk averages — a walk mixes w1..w4
@@ -214,7 +237,8 @@ def main() -> None:
             for tk, v in sorted(by_tok.items())
         }
         results.append({
-            "size": size, "tokens_per_chunk": ctn, "forward_steps": len(times),
+            "size": size, "num_layers": mc.num_layers,
+            "tokens_per_chunk": ctn, "forward_steps": len(times),
             "chunks": emitted, "sec_per_step": round(total / len(times), 3),
             "avg_tokens_per_step": int(np.mean(tok_steps)),
             "per_width_median_sec": per_width,

@@ -266,3 +266,71 @@ def test_attention_cached_accepts_prequantized_kv_dict(rng, monkeypatch):
         q, cache, {"kv": kv8, "scale": sc}, r1s, r1e, r2s, r2e, seg_len=ctn
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_tile_opt_matches_base_two_source(rng):
+    """tile_opt (lighter per-tile softmax bookkeeping) == the base kernel.
+
+    tile_opt relies on two invariants this test exercises: streamed tiles
+    always overlap their range (so masked columns underflow in exp2 without
+    an explicit select), and the first-tile write-through replaces the
+    zero-init + dead first rescale.  Boundary sub-tile ranges + an empty
+    cache range cover the masking edge cases."""
+    n_seg, ctn, C0, hq, hk, hd = 2, 96, 200, 4, 2, 64
+    q, kv1, kv2 = make(rng, n_seg, ctn, C0, n_seg * ctn, hq, hk, hd)
+    for r1, r2 in [
+        ([(0, 150), (10, 200)], [(0, 96), (0, 192)]),   # sub-tile boundaries
+        ([(0, 0), (0, 0)], [(0, 96), (50, 192)]),       # empty cache range
+        ([(0, 200), (0, 200)], [(0, 96), (0, 192)]),    # full ranges
+    ]:
+        rs = [jnp.asarray(x, jnp.int32) for x in
+              ([a for a, _ in r1], [b for _, b in r1],
+               [a for a, _ in r2], [b for _, b in r2])]
+        kw = dict(seg_len=ctn, interpret=True, block_q=64, block_k=128)
+        base = segmented_attention_two_source(q, kv1, kv2, *rs, tile_opt=False, **kw)
+        opt = segmented_attention_two_source(q, kv1, kv2, *rs, tile_opt=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(opt), np.asarray(base), atol=2e-6, rtol=2e-6)
+
+
+def test_tile_opt_matches_base_v2(rng):
+    from magi_tpu.ops.attention import segmented_attention_v2
+
+    n_seg, ctn, hq, hk, hd = 3, 96, 4, 2, 64
+    q = jnp.asarray(rng.normal(size=(n_seg * ctn, hq, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(n_seg * ctn, hk, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(n_seg * ctn, hk, hd)), jnp.float32)
+    start = jnp.asarray([0, 0, 50], jnp.int32)
+    end = jnp.asarray([96, 192, 288], jnp.int32)
+    kw = dict(seg_len=ctn, interpret=True, block_q=64, block_k=128)
+    base = segmented_attention_v2(q, k, v, start, end, tile_opt=False, **kw)
+    opt = segmented_attention_v2(q, k, v, start, end, tile_opt=True, **kw)
+    np.testing.assert_allclose(np.asarray(opt), np.asarray(base), atol=2e-6, rtol=2e-6)
+
+
+def test_tile_opt_matches_base_q8(rng):
+    from magi_tpu.ops.attention_q8 import (
+        quantize_kv_per_token,
+        segmented_attention_two_source_q8,
+    )
+
+    n_seg, ctn, C0, hq, hk, hd = 2, 96, 200, 4, 2, 64
+    q, kv1, kv2 = make(rng, n_seg, ctn, C0, n_seg * ctn, hq, hk, hd)
+    q = q.astype(jnp.bfloat16)
+    kv1_8, sc1 = quantize_kv_per_token(kv1.astype(jnp.bfloat16))
+    kv2_8, sc2 = quantize_kv_per_token(kv2.astype(jnp.bfloat16))
+    for r1, r2 in [
+        ([(0, 150), (10, 200)], [(0, 96), (0, 192)]),
+        ([(0, 0), (0, 0)], [(0, 96), (50, 192)]),
+    ]:
+        rs = [jnp.asarray(x, jnp.int32) for x in
+              ([a for a, _ in r1], [b for _, b in r1],
+               [a for a, _ in r2], [b for _, b in r2])]
+        kw = dict(seg_len=ctn, scheme="qk8", interpret=True, block_q=64, block_k=128)
+        base = segmented_attention_two_source_q8(
+            q, kv1_8, sc1, kv2_8, sc2, *rs, tile_opt=False, **kw)
+        opt = segmented_attention_two_source_q8(
+            q, kv1_8, sc1, kv2_8, sc2, *rs, tile_opt=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(opt, np.float32), np.asarray(base, np.float32),
+            atol=2e-2, rtol=2e-2)
