@@ -336,6 +336,14 @@ class ArdfSampler:
         self.cache = shard_kv_cache(init_kv_cache(self.config, self._cache_tokens))
         self.xs = jax.random.normal(self._init_key, inp.latent_size, dtype=jnp.float32)
         self._warmed = False  # prefix warmup state was part of the chain
+        # Warm the emit path too: each chunk's static slice offsets are a
+        # distinct jitted slice program, and the FIRST _emit additionally
+        # initializes the large-D2H transfer path — unwarmed, the walk's
+        # first emit step pays ~5s one-time (the round-4 "bf16 w4
+        # 5.8-11.0s spread": per-step forensics showed every step tight
+        # except exactly step 63, the first emit).  Read-only on xs.
+        for ci in range(self.chunk_offset, inp.chunk_num):
+            self._emit(ci)
         return len(seen)
 
     def _cfg_scales(self, cfg_t: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
