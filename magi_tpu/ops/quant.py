@@ -54,6 +54,24 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k_tiles: int):
         o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _fit_block_m(m: int, block_m: int) -> int:
+    """Largest block_m' <= block_m (multiple of 128) that divides m.
+
+    When m is 128-aligned but not block_m-aligned, padding m up makes XLA
+    materialize BOTH the padded kernel output and a full-size slice back
+    to m rows (they can't alias) — at 24B-720p's fc1 (m=86400, n=32768)
+    that is 2x 5.3GB HBM for ONE intermediate, the difference between
+    fitting and OOM.  A dividing block keeps the output shape exact.
+    Non-128-aligned m keeps the padded path unchanged (4.5B token counts
+    are 8- but not 128-aligned; their measured-fine programs — and the
+    warm compile cache — stay byte-identical)."""
+    if m % 128 == 0 and m % block_m:
+        for cand in range(block_m - 128, 127, -128):
+            if m % cand == 0:
+                return cand
+    return block_m
+
+
 def quantized_matmul(
     x: jax.Array,  # [m, k] bf16/f32
     w_q: jax.Array,  # [k, n] int8
@@ -73,6 +91,7 @@ def quantized_matmul(
     assert k == k2 and scale.shape == (n,)
 
     block_m = min(block_m, round_up(m, 128))
+    block_m = _fit_block_m(m, block_m)
     block_k = min(block_k, round_up(k, 128))
     block_n = min(block_n, round_up(n, 128))
     mp, kp, np_ = round_up(m, block_m), round_up(k, block_k), round_up(n, block_n)
@@ -163,6 +182,7 @@ def quantized_matmul_i8(
     assert k == k2 and col_scale.shape == (n,) and row_scale.shape == (m,)
 
     block_m = min(block_m, round_up(m, 128))
+    block_m = _fit_block_m(m, block_m)
     block_k = min(block_k, round_up(k, 128))
     block_n = min(block_n, round_up(n, 128))
     mp, kp, np_ = round_up(m, block_m), round_up(k, block_k), round_up(n, block_n)

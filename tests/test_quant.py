@@ -261,3 +261,29 @@ def test_smooth_quant_int4_fold():
     exact = np.asarray(x) @ np.asarray(w[0])
     rel = np.linalg.norm(np.asarray(y, np.float32) - exact) / np.linalg.norm(exact)
     assert rel < 0.2  # int4 resolution
+
+
+def test_fit_block_m_divides_aligned_rows():
+    """128-aligned m gets a dividing block (no pad -> no padded-output +
+    full-size-slice pair in HBM: the 24B-720p OOM, 2x5.3GB at fc1);
+    non-aligned m keeps the padded path (program stability)."""
+    from magi_tpu.ops.quant import _fit_block_m
+
+    assert _fit_block_m(86400, 512) == 384      # 24B-720p w4 token count
+    assert _fit_block_m(9216, 512) == 512       # already dividing: unchanged
+    assert _fit_block_m(5400, 512) == 512       # 4.5B (8- not 128-aligned)
+    assert _fit_block_m(128 * 7919, 512) == 128 # prime multiple: falls to 128
+    assert _fit_block_m(64, 512) == 128         # sub-block m: round_up path
+
+
+def test_quantized_matmul_aligned_rows_no_pad():
+    """m=384 with the default block_m=512 takes the dividing-block path;
+    result still matches the reference."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(384, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32)
+    wq, ws = quantize_int8(w)
+    got = quantized_matmul(x, wq, ws, interpret=True, block_m=512,
+                           block_k=128, block_n=128)
+    want = quantized_matmul_reference(x, wq, ws)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
