@@ -273,7 +273,7 @@ def test_fit_block_m_divides_aligned_rows():
     assert _fit_block_m(9216, 512) == 512       # already dividing: unchanged
     assert _fit_block_m(5400, 512) == 512       # 4.5B (8- not 128-aligned)
     assert _fit_block_m(128 * 7919, 512) == 128 # prime multiple: falls to 128
-    assert _fit_block_m(64, 512) == 128         # sub-block m: round_up path
+    assert _fit_block_m(64, 128) == 128         # post-min() sub-block m: kept
 
 
 def test_quantized_matmul_aligned_rows_no_pad():
